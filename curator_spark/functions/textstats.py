@@ -1,0 +1,79 @@
+"""Gopher/C4-style text statistics as NATIVE Catalyst column expressions.
+
+The reference computes nothing like these (its per-row work is an LLM
+call); per the north rule they are the heuristic-rule stage of the
+quality pipeline. Expressing them as built-in expressions (split /
+size / filter / array_distinct / length arithmetic) keeps the whole
+rule stage inside whole-stage codegen — no Python worker round-trip —
+which is what survives a 100 TB scan.
+
+Every definition here has an exact DuckDB-SQL twin in
+__spark_entry__.oracle_sql() (same split semantics, same length
+arithmetic) so the driver's correctness gate can hash-compare values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from curator_spark.models.corpora import STOPWORDS
+
+# Symbol set for the symbol-to-word ratio rule (excludes @ - . used by PII).
+SYMBOL_CLASS = r"[#$%^&*+=<>|~{}\[\]\\/_]"
+
+
+def words(text: Column) -> Column:
+    """Non-empty whitespace-separated tokens."""
+    return F.filter(F.split(text, r"\s+"), lambda w: w != F.lit(""))
+
+
+def word_count(text: Column) -> Column:
+    return F.size(words(text))
+
+
+def non_ws_chars(text: Column) -> Column:
+    return F.length(F.regexp_replace(text, r"\s+", ""))
+
+
+def mean_word_length(text: Column) -> Column:
+    wc = word_count(text)
+    return F.when(wc > 0, non_ws_chars(text) / wc).otherwise(F.lit(0.0))
+
+
+def symbol_count(text: Column) -> Column:
+    return F.length(text) - F.length(F.regexp_replace(text, SYMBOL_CLASS, ""))
+
+
+def symbol_to_word_ratio(text: Column) -> Column:
+    wc = word_count(text)
+    return F.when(wc > 0, symbol_count(text) / wc).otherwise(F.lit(0.0))
+
+
+def lines(text: Column) -> Column:
+    return F.filter(F.split(text, r"\n"), lambda l: F.trim(l) != F.lit(""))
+
+
+def repeated_line_fraction(text: Column) -> Column:
+    ls = lines(text)
+    n = F.size(ls)
+    return F.when(n > 0, (n - F.size(F.array_distinct(ls))) / n).otherwise(F.lit(0.0))
+
+
+def stopword_density(text: Column) -> Column:
+    ws = words(text)
+    sw = F.array(*[F.lit(s) for s in STOPWORDS])
+    hits = F.size(F.filter(ws, lambda w: F.array_contains(sw, F.lower(w))))
+    wc = F.size(ws)
+    return F.when(wc > 0, hits / wc).otherwise(F.lit(0.0))
+
+
+def all_stats(text: Column) -> dict[str, Column]:
+    """All rule statistics keyed by canonical name."""
+    return {
+        "word_count": word_count(text),
+        "mean_word_length": mean_word_length(text),
+        "symbol_ratio": symbol_to_word_ratio(text),
+        "repeated_line_fraction": repeated_line_fraction(text),
+        "stopword_density": stopword_density(text),
+    }

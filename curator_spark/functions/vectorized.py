@@ -1,0 +1,220 @@
+"""Batch-vectorized char-n-gram machinery (numpy, float64, deterministic).
+
+This is the compute core of the langid and perplexity stages. It is the
+Spark-first restatement of the reference's only batched execution path —
+the offline vLLM processor, which loads a model once per worker and
+scores a whole list of prompts in one call
+(reference: src/bespokelabs/curator/request_processor/offline/
+vllm_offline_request_processor.py:41-53,167-201). Here the "model" is a
+dense log-probability table and "scoring a batch" is pure numpy over the
+concatenated codepoint buffer of an Arrow batch — no per-row Python in
+the hot path.
+
+Both the Spark pandas UDFs (stages/langid.py, stages/perplexity.py) and
+the pure-pandas oracle (oracle/quality_oracle.py) call these functions,
+so float64 results are bit-identical between pipeline and oracle: same
+code, same summation order (np.cumsum is sequential).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from curator_spark.models.corpora import WORDS
+
+# ---------------------------------------------------------------------------
+# Alphabet: index 0 = any other character, index 1 = space, then letters.
+# Uppercase and accented-uppercase codepoints map to the same index as
+# their lowercase form (case folding happens in the lookup table, not via
+# a per-row .lower() pass).
+# ---------------------------------------------------------------------------
+_LETTERS = "abcdefghijklmnopqrstuvwxyzäöüßàâçéèêëîïôùûñáíóúìò'"
+ALPHABET_SIZE = 2 + len(_LETTERS)  # other + space + letters
+
+
+def _build_lookup() -> tuple[np.ndarray, np.ndarray]:
+    pairs: dict[int, int] = {ord(" "): 1}
+    for i, ch in enumerate(_LETTERS):
+        idx = 2 + i
+        pairs[ord(ch)] = idx
+        up = ch.upper()
+        if len(up) == 1 and up != ch:
+            pairs[ord(up)] = idx
+    cps = np.array(sorted(pairs), dtype=np.uint32)
+    vals = np.array([pairs[int(c)] for c in cps], dtype=np.int32)
+    return cps, vals
+
+
+_SORTED_CPS, _CP_VALS = _build_lookup()
+
+
+def encode_texts(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """Encode a batch of strings into one flat int32 index array.
+
+    Returns (codes, offsets) where row r occupies codes[offsets[r]:offsets[r+1]].
+    One encode pass for the whole batch: join → utf-32 → vectorized lookup.
+    """
+    n = len(texts)
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    joined = "".join(texts)
+    if not joined:
+        return np.zeros(0, dtype=np.int32), offsets
+    cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    pos = np.searchsorted(_SORTED_CPS, cp)
+    pos_c = np.minimum(pos, len(_SORTED_CPS) - 1)
+    hit = _SORTED_CPS[pos_c] == cp
+    codes = np.where(hit, _CP_VALS[pos_c], 0).astype(np.int32)
+    return codes, offsets
+
+
+def _segment_sums(values: np.ndarray, starts: np.ndarray, ends: np.ndarray) -> np.ndarray:
+    """Per-row sums of values[starts[r]:ends[r]] (float64).
+
+    Uses np.add.reduceat so each segment is reduced INDEPENDENTLY —
+    the per-row result is a pure function of that row's values, not of
+    batch composition (a whole-batch cumsum would leak prefix rounding
+    across rows and break partitioning-independence of the scores).
+    """
+    out = np.zeros(len(starts), dtype=np.float64)
+    nonempty = ends > starts
+    if not values.size or not nonempty.any():
+        return out
+    # pad one trailing zero so an end index == len(values) stays in bounds
+    padded = np.concatenate([values.astype(np.float64, copy=False), [0.0]])
+    bounds = np.empty(2 * int(nonempty.sum()), dtype=np.int64)
+    bounds[0::2] = starts[nonempty]
+    bounds[1::2] = ends[nonempty]
+    red = np.add.reduceat(padded, bounds)
+    out[nonempty] = red[0::2]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Model training (deterministic, hermetic — built from embedded corpora).
+# ---------------------------------------------------------------------------
+
+def _corpus_text(lang: str) -> str:
+    return " " + " ".join(WORDS[lang]) + " "
+
+
+def train_langid_table(langs: tuple[str, ...], alpha: float = 0.5) -> np.ndarray:
+    """Dense char-trigram log-prob table, shape (n_langs, K**3)."""
+    k = ALPHABET_SIZE
+    table = np.empty((len(langs), k**3), dtype=np.float64)
+    for li, lang in enumerate(langs):
+        codes, _ = encode_texts([_corpus_text(lang)])
+        tri = (
+            codes[:-2].astype(np.int64) * k * k
+            + codes[1:-1].astype(np.int64) * k
+            + codes[2:].astype(np.int64)
+        )
+        counts = np.zeros(k**3, dtype=np.float64)
+        np.add.at(counts, tri, 1.0)
+        total = counts.sum()
+        table[li] = np.log((counts + alpha) / (total + alpha * k**3))
+    return table
+
+
+def train_bigram_lm(lang: str = "en", alpha: float = 0.5) -> np.ndarray:
+    """Char-bigram LM log-prob table for perplexity, shape (K**2,)."""
+    k = ALPHABET_SIZE
+    codes, _ = encode_texts([_corpus_text(lang)])
+    bi = codes[:-1].astype(np.int64) * k + codes[1:].astype(np.int64)
+    counts = np.zeros(k**2, dtype=np.float64)
+    np.add.at(counts, bi, 1.0)
+    total = counts.sum()
+    return np.log((counts + alpha) / (total + alpha * k**2))
+
+
+# Module-level caches: built once per Python worker process, reused across
+# Arrow batches (the reference's "load the model once" — vllm_offline:41-53).
+_LANGID_CACHE: dict[tuple[str, ...], np.ndarray] = {}
+_LM_CACHE: dict[str, np.ndarray] = {}
+
+
+def get_langid_table(langs: tuple[str, ...]) -> np.ndarray:
+    if langs not in _LANGID_CACHE:
+        _LANGID_CACHE[langs] = train_langid_table(langs)
+    return _LANGID_CACHE[langs]
+
+
+def get_bigram_lm(lang: str = "en") -> np.ndarray:
+    if lang not in _LM_CACHE:
+        _LM_CACHE[lang] = train_bigram_lm(lang)
+    return _LM_CACHE[lang]
+
+
+def save_artifacts(path: str, langs: tuple[str, ...]) -> None:
+    """Persist model tables to an .npz for spark-submit --files shipping."""
+    np.savez_compressed(
+        path, langid=get_langid_table(langs), lm=get_bigram_lm(), langs=np.array(langs)
+    )
+
+
+def load_artifacts(path: str) -> tuple[np.ndarray, np.ndarray, tuple[str, ...]]:
+    z = np.load(path, allow_pickle=False)
+    return z["langid"], z["lm"], tuple(str(x) for x in z["langs"])
+
+
+# ---------------------------------------------------------------------------
+# Batched scoring.
+# ---------------------------------------------------------------------------
+
+def langid_scores(
+    texts: list[str], langs: tuple[str, ...], table: np.ndarray | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Predict (lang_index, confidence) per row, fully vectorized.
+
+    Confidence is the softmax over per-language mean trigram
+    log-likelihoods. Rows with <3 encodable chars get (-1, 0.0).
+    """
+    if table is None:
+        table = get_langid_table(langs)
+    k = ALPHABET_SIZE
+    codes, offsets = encode_texts(texts)
+    n = len(texts)
+    if len(codes) < 3:
+        return np.full(n, -1, dtype=np.int64), np.zeros(n, dtype=np.float64)
+    tri = (
+        codes[:-2].astype(np.int64) * k * k
+        + codes[1:-1].astype(np.int64) * k
+        + codes[2:].astype(np.int64)
+    )
+    # Trigram t starts at char position t; valid for row r if t+2 < offsets[r+1].
+    starts = np.minimum(offsets[:-1], len(tri))
+    ends = np.minimum(np.maximum(offsets[1:] - 2, offsets[:-1]), len(tri))
+    counts = (ends - starts).astype(np.float64)
+    mean_ll = np.empty((len(langs), n), dtype=np.float64)
+    safe = np.maximum(counts, 1.0)
+    for li in range(len(langs)):
+        mean_ll[li] = _segment_sums(table[li][tri], starts, ends) / safe
+    # softmax over languages per row
+    mx = mean_ll.max(axis=0)
+    ex = np.exp(mean_ll - mx)
+    conf = ex.max(axis=0) / ex.sum(axis=0)
+    pred = mean_ll.argmax(axis=0)
+    empty = counts < 1.0
+    pred[empty] = -1
+    conf[empty] = 0.0
+    return pred, conf
+
+
+def perplexities(texts: list[str], lm: np.ndarray | None = None) -> np.ndarray:
+    """Char-bigram perplexity per row (English LM). <2 chars → 1e9."""
+    if lm is None:
+        lm = get_bigram_lm()
+    k = ALPHABET_SIZE
+    codes, offsets = encode_texts(texts)
+    n = len(texts)
+    if len(codes) < 2:
+        return np.full(n, 1e9, dtype=np.float64)
+    bi = codes[:-1].astype(np.int64) * k + codes[1:].astype(np.int64)
+    starts = np.minimum(offsets[:-1], len(bi))
+    ends = np.minimum(np.maximum(offsets[1:] - 1, offsets[:-1]), len(bi))
+    counts = (ends - starts).astype(np.float64)
+    sums = _segment_sums(lm[bi], starts, ends)
+    out = np.exp(-sums / np.maximum(counts, 1.0))
+    out[counts < 1.0] = 1e9
+    return out

@@ -1,0 +1,245 @@
+"""Pipeline orchestration: fingerprint → resume → stage chain → bucket commit.
+
+The Spark restatement of the reference's `LLM.__call__` lifecycle
+(reference: llm/llm.py:190-337, SURVEY.md §3.1):
+
+  ingest → fingerprint → cache probe → execute remainder → materialize
+
+re-expressed as: read parquet → derive url-hash bucket_id →
+anti-select already-committed buckets (row-level resume, reference:
+base_request_processor.py:609-651) → native rules + Arrow UDF scoring →
+single shuffle on bucket_id → partitioned write → atomic manifest
+commit carrying per-bucket lineage counters (the reference's
+OnlineStatusTracker counters, online_status_tracker.py:46-95).
+
+Scale notes (100 TB): the only shuffle in the whole job is the final
+repartition("bucket_id") for the partitioned write; all UDF scoring
+runs pre-shuffle at full scan parallelism. n_buckets bounds write
+parallelism — use ≥4× executor count in production (32 here for
+local[32]). Metrics are computed by re-reading the freshly written
+(column-pruned) output, never by re-running UDFs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from curator_spark.config import QualityConfig
+from curator_spark.pipeline.fingerprint import run_fingerprint
+from curator_spark.pipeline.snapshot import SnapshotTable
+from curator_spark.stages.decide import with_decision
+from curator_spark.stages.extract import with_extracted_text
+from curator_spark.stages.langid import with_langid
+from curator_spark.stages.perplexity import with_perplexity
+from curator_spark.stages.rules import with_rule_flags, with_rule_stats
+from curator_spark.stages.scrub import with_scrub
+
+OUT_COLS = [
+    "url",
+    "bucket_id",
+    "lang_pred",
+    "lang_score",
+    "perplexity",
+    "keep",
+    "drop_reason",
+    "scrubbed_text",
+    "scrub_counts",
+]
+
+
+def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
+    return df.withColumn(
+        "bucket_id", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
+    )
+
+
+def quality_plan(df: DataFrame, cfg: QualityConfig, text_col: str = "text") -> DataFrame:
+    """The full logical plan over a pages-shaped DataFrame (no I/O)."""
+    df = with_rule_stats(df, text_col)
+    df = with_rule_flags(df, cfg)
+    df = with_langid(df, cfg, text_col)
+    df = with_perplexity(df, text_col)
+    df = with_decision(df, cfg)
+    df = with_scrub(df, text_col)
+    # dropped rows carry no scrubbed payload (they are not emitted downstream)
+    df = df.withColumn(
+        "scrubbed_text", F.when(F.col("keep"), F.col("scrubbed_text"))
+    )
+    return df
+
+
+@dataclass
+class RunResult:
+    fingerprint: str
+    cached: bool
+    buckets_processed: list[int] = field(default_factory=list)
+    docs_seen: int = 0
+    docs_kept: int = 0
+    failed_rows: int = 0
+    snapshot_id: int = 0
+
+
+class QualityPipeline:
+    def __init__(self, out_root: str, cfg: QualityConfig | None = None):
+        self.cfg = cfg or QualityConfig()
+        self.table = SnapshotTable(out_root)
+
+    # -- resume bookkeeping (from manifest meta, no data read) -------------
+    def committed_buckets(self, fp: str) -> set[int]:
+        done: set[int] = set()
+        for c in self.table.commits():
+            m = c["meta"]
+            if m.get("run_fingerprint") == fp:
+                done.update(int(b) for b in m.get("buckets", {}))
+        return done
+
+    def read_output(self, spark: SparkSession, fp: str) -> DataFrame | None:
+        return self.table.read(spark, lambda m: m.get("run_fingerprint") == fp)
+
+    def metrics(self, spark: SparkSession, fp: str | None = None) -> DataFrame:
+        rows = []
+        for c in self.table.commits():
+            m = c["meta"]
+            if fp is not None and m.get("run_fingerprint") != fp:
+                continue
+            for b, bm in m.get("buckets", {}).items():
+                rows.append(
+                    {
+                        "run_fingerprint": m["run_fingerprint"],
+                        "bucket_id": int(b),
+                        "docs_seen": bm["docs_seen"],
+                        "docs_kept": bm["docs_kept"],
+                        "docs_dropped": bm["docs_seen"] - bm["docs_kept"],
+                        "dropped_by_rule": bm["dropped_by_rule"],
+                        "committed_at": m["committed_at"],
+                    }
+                )
+        schema = (
+            "run_fingerprint string, bucket_id int, docs_seen long, docs_kept long,"
+            " docs_dropped long, dropped_by_rule map<string,long>, committed_at string"
+        )
+        return spark.createDataFrame(rows, schema=schema)
+
+    # -- execution ----------------------------------------------------------
+    def run(
+        self,
+        spark: SparkSession,
+        input_path: str,
+        max_buckets: int | None = None,
+        from_html: bool = True,
+    ) -> RunResult:
+        cfg = self.cfg
+        fp = run_fingerprint(input_path, cfg)
+        done = self.committed_buckets(fp)
+        todo = sorted(set(range(cfg.n_buckets)) - done)
+        if max_buckets is not None:
+            todo = todo[:max_buckets]
+        if not todo:
+            return RunResult(fingerprint=fp, cached=True,
+                             snapshot_id=self.table.current_snapshot_id())
+
+        pages = spark.read.parquet(input_path)
+        pages = with_bucket(pages, cfg.n_buckets)
+        if len(todo) < cfg.n_buckets:
+            pages = pages.filter(F.col("bucket_id").isin(todo))
+
+        if from_html:
+            pages = with_extracted_text(pages, out="doc_text")
+        else:
+            pages = pages.withColumn("doc_text", F.col("text"))
+
+        valid = pages.filter(F.col("doc_text").isNotNull() & (F.col("doc_text") != ""))
+        invalid = pages.filter(F.col("doc_text").isNull() | (F.col("doc_text") == ""))
+
+        scored = quality_plan(valid, cfg, text_col="doc_text")
+        out = scored.select(*OUT_COLS).repartition("bucket_id")
+
+        # stage data invisibly, then publish via one atomic manifest commit
+        stage_dir = self.table.stage_dir()
+        out.write.mode("overwrite").partitionBy("bucket_id").parquet(stage_dir)
+
+        failed = invalid.select(
+            "url",
+            F.lit("extract").alias("stage"),
+            F.lit("empty or undecodable html body").alias("error"),
+        )
+        n_failed = failed.count()
+        if n_failed:
+            failed.write.mode("overwrite").parquet(stage_dir + "_failed")
+
+        # lineage counters from the committed bytes (column-pruned re-read;
+        # never re-runs the UDFs)
+        written = spark.read.parquet(stage_dir)
+        per_bucket = (
+            written.groupBy("bucket_id")
+            .agg(
+                F.count("*").alias("docs_seen"),
+                F.sum(F.col("keep").cast("long")).alias("docs_kept"),
+                F.sum("scrub_counts.emails").alias("emails"),
+                F.sum("scrub_counts.ids").alias("ids"),
+                F.sum("scrub_counts.phones").alias("phones"),
+                F.sum("scrub_counts.toxic").alias("toxic"),
+            )
+            .collect()
+        )
+        per_reason = (
+            written.filter(~F.col("keep"))
+            .groupBy("bucket_id", "drop_reason")
+            .count()
+            .collect()
+        )
+        reason_map: dict[int, dict[str, int]] = {}
+        for r in per_reason:
+            reason_map.setdefault(r["bucket_id"], {})[r["drop_reason"]] = r["count"]
+        buckets_meta = {
+            str(r["bucket_id"]): {
+                "docs_seen": r["docs_seen"],
+                "docs_kept": r["docs_kept"],
+                "dropped_by_rule": reason_map.get(r["bucket_id"], {}),
+                "scrub_counts": {
+                    "emails": r["emails"], "ids": r["ids"],
+                    "phones": r["phones"], "toxic": r["toxic"],
+                },
+            }
+            for r in per_bucket
+        }
+        # buckets that had zero valid rows still count as committed
+        for b in todo:
+            buckets_meta.setdefault(
+                str(b),
+                {"docs_seen": 0, "docs_kept": 0, "dropped_by_rule": {},
+                 "scrub_counts": {"emails": 0, "ids": 0, "phones": 0, "toxic": 0}},
+            )
+
+        sid = self.table.commit(
+            stage_dir,
+            {
+                "run_fingerprint": fp,
+                "input_path": input_path,
+                "config": cfg.stable_json(),
+                "buckets": buckets_meta,
+                "failed_rows": n_failed,
+                "committed_at": datetime.now(timezone.utc).isoformat(),
+            },
+        )
+
+        docs_seen = sum(b["docs_seen"] for b in buckets_meta.values())
+        docs_kept = sum(b["docs_kept"] for b in buckets_meta.values())
+        if cfg.require_all_rows and n_failed:
+            raise RuntimeError(
+                f"{n_failed} rows failed extraction and require_all_rows is set "
+                f"(quarantined at {stage_dir}_failed)"
+            )
+        return RunResult(
+            fingerprint=fp,
+            cached=False,
+            buckets_processed=todo,
+            docs_seen=docs_seen,
+            docs_kept=docs_kept,
+            failed_rows=n_failed,
+            snapshot_id=sid,
+        )

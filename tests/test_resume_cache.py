@@ -1,0 +1,84 @@
+"""Resume + cache semantics (reference patterns, SURVEY.md §5.2-5.3).
+
+- kill-and-resume: process k buckets, 'die', rerun → remaining buckets
+  only, every bucket exactly once (reference: test_all.py:233-246).
+- cache: same input+config again ⇒ no-op; changed config ⇒ new
+  fingerprint, full rerun (reference: test_caching.py:12-96).
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+from curator_spark.config import QualityConfig
+from curator_spark.pipeline.run import QualityPipeline
+
+
+def test_partial_run_then_resume(spark, pages_path, cfg, tmp_path):
+    pipe = QualityPipeline(str(tmp_path / "out"), cfg)
+    r1 = pipe.run(spark, pages_path, max_buckets=5)
+    assert len(r1.buckets_processed) == 5
+
+    r2 = pipe.run(spark, pages_path)
+    assert not r2.cached
+    assert len(r2.buckets_processed) == cfg.n_buckets - 5
+    # no bucket processed twice
+    assert set(r1.buckets_processed).isdisjoint(r2.buckets_processed)
+
+    m = pipe.metrics(spark, r1.fingerprint).toPandas()
+    assert sorted(m["bucket_id"]) == list(range(cfg.n_buckets))
+    out = pipe.read_output(spark, r1.fingerprint)
+    assert out.count() == m["docs_seen"].sum()
+    # every url exactly once across both runs
+    assert out.select("url").distinct().count() == out.count()
+
+
+def test_cache_hit_and_invalidation(spark, pages_path, cfg, tmp_path):
+    pipe = QualityPipeline(str(tmp_path / "out"), cfg)
+    r1 = pipe.run(spark, pages_path)
+    assert not r1.cached
+
+    r2 = pipe.run(spark, pages_path)
+    assert r2.cached
+    assert r2.fingerprint == r1.fingerprint
+
+    # changed config ⇒ new fingerprint ⇒ full rerun, outputs kept separate
+    cfg2 = replace(cfg, max_perplexity=500.0)
+    pipe2 = QualityPipeline(str(tmp_path / "out"), cfg2)
+    r3 = pipe2.run(spark, pages_path)
+    assert not r3.cached
+    assert r3.fingerprint != r1.fingerprint
+    out1 = pipe.read_output(spark, r1.fingerprint)
+    out3 = pipe2.read_output(spark, r3.fingerprint)
+    assert out1.count() == out3.count()
+
+
+def test_failed_row_quarantine(spark, cfg, tmp_path):
+    """Rows with undecodable/empty html body → quarantine, strict mode raises
+    (reference require_all_responses, config.py:30)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from curator_spark.engine.synth import generate_pages
+
+    pages = generate_pages(spark, 50)
+    broken = pages.withColumn(
+        "html",
+        F.when(F.col("url").endswith("/p/3"), F.lit(b"<html>no body</html>")).otherwise(
+            F.col("html")
+        ),
+    )
+    path = str(tmp_path / "pages_broken")
+    broken.write.parquet(path)
+
+    pipe = QualityPipeline(str(tmp_path / "out"), cfg)
+    with pytest.raises(RuntimeError, match="failed extraction"):
+        pipe.run(spark, path)
+
+    # non-strict mode: quarantined but run succeeds
+    from dataclasses import replace
+
+    pipe2 = QualityPipeline(str(tmp_path / "out2"), replace(cfg, require_all_rows=False))
+    res = pipe2.run(spark, path)
+    assert res.failed_rows == 1
+    assert res.docs_seen == 49

@@ -1,0 +1,44 @@
+"""Native rule expressions vs the oracle's Python stats on edge cases."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from curator_spark.functions import textstats as ts
+from curator_spark.oracle.quality_oracle import _stats_row
+
+EDGE_TEXTS = [
+    "the quick brown fox",
+    "  leading and trailing   ",
+    "one\ntwo\ntwo\ntwo\n",
+    "a",
+    "###$ %%% ^^^",
+    "word " * 50,
+    "line\n\n\nline\nother",
+    "tab\tseparated\twords here",
+]
+
+
+def test_stats_match_oracle(spark):
+    df = spark.createDataFrame(pd.DataFrame({"text": EDGE_TEXTS}))
+    stats = ts.all_stats(F.col("text"))
+    rows = df.select(
+        "text", *[c.alias(n) for n, c in stats.items()]
+    ).collect()
+    for r in rows:
+        wc, mwl, symr, rlf, swd = _stats_row(r["text"])
+        assert r["word_count"] == wc, r["text"]
+        assert abs(r["mean_word_length"] - mwl) < 1e-12, r["text"]
+        assert abs(r["symbol_ratio"] - symr) < 1e-12, r["text"]
+        assert abs(r["repeated_line_fraction"] - rlf) < 1e-12, r["text"]
+        assert abs(r["stopword_density"] - swd) < 1e-12, r["text"]
+
+
+def test_extraction_native(spark):
+    from curator_spark.stages.extract import with_extracted_text
+
+    html = "<html><head><title>t</title></head><body><p>hello\nworld</p></body></html>"
+    df = spark.createDataFrame([(html.encode(),)], "html binary")
+    out = with_extracted_text(df).collect()[0]
+    assert out["extracted_text"] == "hello\nworld"
