@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Two measurements:
+1. Headline query suite at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+   local[$SPARK_GRAFT_CPUS] — per-query wall seconds, forced through a
+   noop datasource write so the full plan executes without driver
+   collect.
+2. North-rule scaling evidence: the end-to-end quality-filter pipeline
+   (langid + perplexity + heuristic rules + scrub + decision) over a
+   deterministic synthetic Common-Crawl-style pages table, run at
+   local[N] and local[4N] on the same input; reports docs/sec at both
+   and scaling efficiency = thr_4N / (4 * thr_N)  (BASELINE.json
+   gate: >= 0.8).
+
+Usage: python bench.py            # full output (suite + scaling)
+       python bench.py --no-scaling   # suite only
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+# queries that are safe at sf0.1 scale (no quadratic pair blowups —
+# dedup_jaccard_pairs is correctness-checked at sf0.01 instead, see
+# its scale notes in curator_spark/queries/dedupq.py)
+HEADLINE = [
+    "quality_full_docs",
+    "rule_stats",
+    "quality_keepdrop",
+    "scrub_pii",
+    "token_stats",
+    "doc_fingerprint",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "knn_brute",
+    "ann_lsh_bucket",
+    "embedding_neardup_pairs",
+    "centroid_assign",
+    "pricing_summary",
+    "top_customers_revenue",
+    "orders_no_bigline",
+    "latest_event_per_user",
+    "sessionize",
+    "events_hourly_rollup",
+]
+
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "120000"))
+
+
+def _force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def _session(cores: int, app: str):
+    from curator_spark.engine.session import get_spark
+
+    s = get_spark(app, cores=cores, shuffle_partitions=max(32, cores))
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def run_suite(sf_dir: str, cores: int) -> dict[str, float]:
+    from curator_spark.queries import QUERIES
+
+    spark = _session(cores, "bench-suite")
+    # warm-up: JVM codegen, parquet footers, python workers, model build
+    _force(QUERIES["quality_full_docs"](spark, sf_dir).limit(256))
+    _force(QUERIES["pricing_summary"](spark, sf_dir))
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        _force(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+    spark.stop()
+    return timings
+
+
+def _pages_path(n_rows: int) -> str:
+    return f"/tmp/curator_bench_pages_{n_rows}"
+
+
+def prepare_pages(n_rows: int, cores: int) -> str:
+    from curator_spark.engine.synth import write_pages
+
+    path = _pages_path(n_rows)
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        spark = _session(cores, "bench-gen")
+        write_pages(spark, path, n_rows)
+        spark.stop()
+    return path
+
+
+def run_pipeline_at(cores: int, pages: str, n_rows: int) -> float:
+    """End-to-end quality pipeline docs/sec at local[cores]."""
+    from pyspark.sql import functions as F
+
+    from curator_spark.config import QualityConfig
+    from curator_spark.pipeline.run import quality_plan, with_bucket
+
+    spark = _session(cores, f"bench-pipeline-{cores}")
+    cfg = QualityConfig()
+    # warm-up: JVM + python workers + model build (excluded from timing,
+    # mirrors a long-running job where model load amortizes to ~0)
+    warm = spark.read.parquet(pages).limit(2048)
+    _force(quality_plan(warm, cfg, text_col="text").drop("scrub_counts"))
+    t0 = time.perf_counter()
+    df = spark.read.parquet(pages)
+    df = with_bucket(df, cfg.n_buckets)
+    out = quality_plan(df, cfg, text_col="text").select(
+        "url", "bucket_id", "lang_pred", "lang_score", "perplexity",
+        "keep", "drop_reason", "scrubbed_text",
+    )
+    _force(out)
+    dt = time.perf_counter() - t0
+    spark.stop()
+    return n_rows / dt
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    do_scaling = "--no-scaling" not in sys.argv
+
+    timings = run_suite(sf_dir, cores)
+    total = round(sum(timings.values()), 3)
+
+    result = {
+        "metric": (
+            "headline suite wall seconds (quality filter + dedup + "
+            "similarity + relational) at sf; plus quality-pipeline "
+            "docs/sec scaling N->4N cores"
+        ),
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cores": cores,
+    }
+
+    if do_scaling:
+        n_small = max(cores // 4, 1)
+        pages = prepare_pages(BENCH_DOCS, cores)
+        thr_n = run_pipeline_at(n_small, pages, BENCH_DOCS)
+        thr_4n = run_pipeline_at(cores, pages, BENCH_DOCS)
+        eff = thr_4n / (4.0 * thr_n)
+        result["pipeline"] = {
+            "n_docs": BENCH_DOCS,
+            "docs_per_sec_n": round(thr_n, 1),
+            "docs_per_sec_4n": round(thr_4n, 1),
+            "cores_n": n_small,
+            "cores_4n": cores,
+            "scaling_efficiency": round(eff, 3),
+        }
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,48 @@
+"""Shared helpers for the query registry (__spark_entry__ contract).
+
+Every query exists twice: a Spark DataFrame program (`(spark, sf_dir)
+-> DataFrame`) and, where SQL-expressible, an ANSI/DuckDB oracle SQL
+string built from the SAME Python constants (thresholds, stopword list,
+regex patterns) so the two sides cannot drift apart. The driver
+hash-compares values column-by-column, so:
+
+- every computed column is aliased identically on both sides,
+- floats that involve more than one accumulation are rounded to 6
+  decimals on both sides (single-division floats from integer counts
+  are bit-identical between engines and compared unrounded),
+- counts are cast to BIGINT on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from curator_spark.models.corpora import STOPWORDS
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# SQL fragments shared across oracle strings.
+# ---------------------------------------------------------------------------
+
+def sql_stopword_list() -> str:
+    """DuckDB list literal of the stopword lexicon."""
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+# Words = non-empty whitespace-separated tokens (identical to
+# functions/textstats.words).
+SQL_WORDS = "list_filter(regexp_split_to_array({col}, '\\s+'), x -> x <> '')"
+
+
+def sql_words(col: str = "text") -> str:
+    return SQL_WORDS.format(col=col)

@@ -1,0 +1,265 @@
+"""Deduplication operators over the `documents` table.
+
+Training-data-pipeline dedup family (exact, normalized, n-gram
+Jaccard, MinHash+LSH). The reference has no dedup operator (its
+"dedup" is run-level caching, SURVEY §4); these are the web-scale
+curation ops the north_star workload needs.
+
+Engine-parity design: every hash is md5 (identical lowercase hex in
+Spark and DuckDB) and MinHash minimizes md5 *strings* (lexicographic
+min is engine-independent), so the whole MinHash/LSH construction is
+bit-reproducible in both engines without any custom UDF — Catalyst
+keeps it in whole-stage codegen.
+
+Scale notes (100 TB): exact/normalized dedup = one hash-partitioned
+groupBy (map-side partial agg). MinHash: the explode(shingles) blowup
+is bounded per-row; signatures reduce via min() with partial
+aggregation, so shuffle volume is n_docs × K hashes, not the shingle
+stream. LSH band self-join is an equi-join on (band_id, band_hash) —
+AQE skew-split handles hot buckets; at 500 docs local it is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from curator_spark.queries.common import t
+
+MINHASH_K = 12         # number of hash functions
+LSH_BANDS = 3          # bands of r = K/LSH_BANDS = 4 rows: P(candidate)
+                       # = 1-(1-j^4)^3 => ~0.96 at j=0.9, ~1e-5 at j=0.1
+JACCARD_THRESHOLD = 0.5  # 2-gram shingle Jaccard for near-dup pairs
+
+
+def _words(col):
+    return F.filter(F.split(col, r"\s+"), lambda w: w != F.lit(""))
+
+
+def _shingles2(ws):
+    """Distinct word-2gram shingles; empty when fewer than 2 words."""
+    n = F.size(ws)
+    sh = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(ws, i), F.element_at(ws, i + 1)),
+    )
+    return F.when(n >= 2, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+SQL_SHINGLES2 = (
+    "CASE WHEN len(ws) >= 2 THEN list_distinct(list_transform("
+    "range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) "
+    "ELSE CAST([] AS VARCHAR[]) END"
+)
+
+SQL_WS_CTE = (
+    "SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'),"
+    " x -> x <> '') AS ws FROM documents"
+)
+
+
+# ---------------------------------------------------------------------------
+# dedup_exact — hash-groupBy exact dedup.
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash,
+       min(doc_id)::BIGINT AS keep_doc_id,
+       count(*)::BIGINT AS dup_count
+FROM documents GROUP BY md5(text)
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_normalized — exact dedup after lower + whitespace collapse.
+# ---------------------------------------------------------------------------
+
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return (
+        d.groupBy(F.md5(norm.cast("binary")).alias("norm_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+SQL_DEDUP_NORMALIZED = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS norm_hash,
+       min(doc_id)::BIGINT AS keep_doc_id,
+       count(*)::BIGINT AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_jaccard_pairs — exact n-gram Jaccard near-dup pairs.
+# ---------------------------------------------------------------------------
+
+def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    sh = d.select(
+        "doc_id", F.explode(_shingles2(_words(F.col("text")))).alias("sh")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), "sh")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n_sh", "sa"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_sh", "sb"), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("sa") + F.col("sb") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return jac.select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+SQL_DEDUP_JACCARD = f"""
+WITH w AS ({SQL_WS_CTE}),
+sh AS (
+  SELECT doc_id, unnest({SQL_SHINGLES2}) AS sh FROM w
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b USING (sh)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common::DOUBLE / (sa.n_sh + sb.n_sh - n_common) >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_lsh — MinHash signatures + banded LSH candidate pairs.
+# ---------------------------------------------------------------------------
+
+def _minhash_agg_cols():
+    """K min() aggregates over exploded shingles. md5/concat on a plain
+    column stay inside whole-stage codegen (a per-row `transform` HOF
+    would be interpreted — measured ~10x slower); groupBy(min) does
+    map-side partial aggregation, so the shuffle carries only
+    n_docs x K signature hashes, never the shingle stream."""
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("sh")).cast("binary")))
+        .alias(f"m{k}")
+        for k in range(MINHASH_K)
+    ]
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    sh = d.select(
+        "doc_id", F.explode(_shingles2(_words(F.col("text")))).alias("sh")
+    )
+    sig = sh.groupBy("doc_id").agg(*_minhash_agg_cols())
+    r = MINHASH_K // LSH_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", *[F.col(f"m{b * r + j}") for j in range(r)]
+                            ).cast("binary")
+                        ).alias("band_hash"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_id", "band.band_hash")
+    pairs = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_id", "band_hash"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def _sql_minhash() -> str:
+    mins = ",\n    ".join(
+        f"min(md5('{k}:' || sh)) AS m{k}" for k in range(MINHASH_K)
+    )
+    r = MINHASH_K // LSH_BANDS
+    band_structs = ", ".join(
+        "{'band_id': %d, 'band_hash': md5(%s)}"
+        % (b, " || '|' || ".join(f"m{b * r + j}" for j in range(r)))
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+WITH w AS ({SQL_WS_CTE}),
+sh AS (
+  SELECT doc_id, unnest({SQL_SHINGLES2}) AS sh FROM w
+),
+sig AS (
+  SELECT doc_id,
+    {mins}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, unnest([{band_structs}], recursive := true)
+  FROM sig
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a
+JOIN bands b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+WHERE a.doc_id < b.doc_id
+"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_normalized": q_dedup_normalized,
+    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+}
+
+ORACLES = {
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_normalized": SQL_DEDUP_NORMALIZED,
+    "dedup_jaccard_pairs": SQL_DEDUP_JACCARD,
+    "dedup_minhash_lsh": _sql_minhash(),
+}

@@ -1,0 +1,283 @@
+"""Similarity search over the `embeddings` table (array<float>, 64-d).
+
+Training-data-pipeline ANN family: brute-force cosine top-k baseline,
+LSH (random-hyperplane) bucketing as the scale path, and
+embedding-cosine near-dup pairs. No reference analog (curator has no
+vector ops); these are first-class curation operators per the build
+brief.
+
+Engine parity: both sides cast float32 → float64 (exact) and reduce
+the dot product sequentially in index order (Spark `aggregate` left
+fold ≡ DuckDB `list_dot_product`/`list_cosine_similarity` loop), so
+doubles are bit-identical; displayed similarity is rounded to 6.
+
+Scale notes (100 TB): brute-force is a broadcast nested loop — fine
+when the query side is small (broadcast) and unacceptable for all-pairs
+at 10^9 vectors; that is exactly why `ann_lsh_bucket` exists: bucket
+assignment is a per-row map (planes broadcast), turning neighbor search
+into an equi-join on bucket id. `embedding_neardup_pairs` is quadratic
+per bucket only. K (planes) tunes bucket occupancy ~ n / 2^K.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from curator_spark.queries.common import t
+
+KNN_QUERIES = 5   # vec_id < 5 are the query vectors
+KNN_K = 5
+LSH_PLANES = 8    # hyperplanes = embeddings of vec_id 0..7
+NEARDUP_COS = 0.40
+
+
+def _to_double(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _cosine(a, b) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+# ---------------------------------------------------------------------------
+# knn_brute — brute-force cosine top-k for a small query set.
+# ---------------------------------------------------------------------------
+
+def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _to_double(F.col("embedding")).alias("emb")
+    )
+    q = e.where(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cosine(F.col("qemb"), F.col("emb")).alias("sim"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= KNN_K)
+        .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
+    )
+
+
+SQL_KNN_BRUTE = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < {KNN_QUERIES}),
+scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(qemb, emb) AS sim
+  FROM q, e WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank::BIGINT AS rank, round(sim, 6) AS sim
+FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# ann_lsh_bucket — random-hyperplane LSH bucket assignment.
+# Hyperplanes are the first LSH_PLANES data vectors (deterministic, no
+# RNG divergence between engines).
+# ---------------------------------------------------------------------------
+
+def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _to_double(F.col("embedding")).alias("emb")
+    )
+    planes = e.where(F.col("vec_id") < LSH_PLANES).select(
+        F.col("vec_id").alias("plane_id"), F.col("emb").alias("pvec")
+    )
+    bits = e.crossJoin(F.broadcast(planes)).select(
+        "vec_id",
+        "plane_id",
+        F.when(_dot(F.col("emb"), F.col("pvec")) > 0, F.lit("1"))
+        .otherwise(F.lit("0"))
+        .alias("bit"),
+    )
+    return (
+        bits.groupBy("vec_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("plane_id", "bit"))),
+                    lambda s: s["bit"],
+                ),
+                "",
+            ).alias("bucket")
+        )
+    )
+
+
+SQL_ANN_LSH = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+planes AS (SELECT vec_id AS plane_id, emb AS pvec FROM e
+           WHERE vec_id < {LSH_PLANES}),
+bits AS (
+  SELECT e.vec_id, plane_id,
+         CASE WHEN list_dot_product(emb, pvec) > 0 THEN '1' ELSE '0' END AS bit
+  FROM e CROSS JOIN planes
+)
+SELECT vec_id, string_agg(bit, '' ORDER BY plane_id) AS bucket
+FROM bits GROUP BY vec_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding_neardup_pairs — all pairs with cosine >= threshold.
+#
+# Implementation: broadcast the (small) normalized matrix to every
+# executor and scan the vectors with mapInPandas — each Arrow batch is
+# ONE numpy matmul against the broadcast side (the reference's
+# load-once batched-scoring pattern, vllm_offline:41-53). A pairwise
+# expression join would evaluate interpreted higher-order functions
+# per pair (~25x slower, measured). All-pairs-vs-broadcast is the
+# right physical plan only while one side fits in memory; at 10^9
+# vectors the scale path is ann_lsh_bucket + within-bucket pairs.
+# ---------------------------------------------------------------------------
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    e = t(spark, sf_dir, "embeddings")
+    side = e.select("vec_id", "embedding").collect()  # broadcast side only
+    ids = np.array([r["vec_id"] for r in side], dtype=np.int64)
+    B = np.array([r["embedding"] for r in side], dtype=np.float64)
+    Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((ids, Bn))
+    thr = NEARDUP_COS
+
+    def gen(batches):
+        import pandas as pd
+
+        b_ids, b_mat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            S = Vn @ b_mat.T
+            v_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            ii, jj = np.nonzero((S >= thr) & (v_ids[:, None] < b_ids[None, :]))
+            yield pd.DataFrame(
+                {
+                    "vec_a": v_ids[ii],
+                    "vec_b": b_ids[jj],
+                    "sim": np.round(S[ii, jj], 6),
+                }
+            )
+
+    scan = e.repartition(spark.sparkContext.defaultParallelism)
+    return scan.mapInPandas(gen, "vec_a long, vec_b long, sim double")
+
+
+SQL_EMB_NEARDUP = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.emb, b.emb), 6) AS sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.emb, b.emb) >= {NEARDUP_COS}
+"""
+
+
+# ---------------------------------------------------------------------------
+# centroid_assign — nearest-centroid (IVF coarse quantizer) assignment;
+# centroids = per-label mean vector, computed with explode + avg so both
+# engines do the same grouped mean.
+# ---------------------------------------------------------------------------
+
+def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _to_double(F.col("embedding")).alias("emb")
+    )
+    exploded = e.select("label", F.posexplode("emb").alias("pos", "v"))
+    centroids = (
+        exploded.groupBy("label", "pos")
+        .agg(F.round(F.avg("v"), 9).alias("cv"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda s: s["cv"],
+            ).alias("cvec")
+        )
+        .select(F.col("label").alias("c_label"), "cvec")
+    )
+    return (
+        e.crossJoin(F.broadcast(centroids))
+        .withColumn("sim", _cosine(F.col("emb"), F.col("cvec")))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by("c_label", "sim").alias("assigned_label"),
+            F.round(F.max("sim"), 6).alias("centroid_sim"),
+        )
+    )
+
+
+SQL_CENTROID_ASSIGN = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+ex AS (
+  SELECT label,
+         unnest(list_transform(range(1, len(emb) + 1),
+                               i -> {'pos': i, 'v': emb[i]}),
+                recursive := true)
+  FROM e
+),
+cent AS (
+  SELECT label AS c_label, pos, round(avg(v), 9) AS cv
+  FROM ex GROUP BY label, pos
+),
+cvecs AS (
+  SELECT c_label, list(cv ORDER BY pos) AS cvec FROM cent GROUP BY c_label
+),
+scored AS (
+  SELECT vec_id, c_label, list_cosine_similarity(emb, cvec) AS sim
+  FROM e CROSS JOIN cvecs
+)
+SELECT vec_id,
+       arg_max(c_label, sim) AS assigned_label,
+       round(max(sim), 6) AS centroid_sim
+FROM scored GROUP BY vec_id
+"""
+
+
+QUERIES = {
+    "knn_brute": q_knn_brute,
+    "ann_lsh_bucket": q_ann_lsh_bucket,
+    "embedding_neardup_pairs": q_embedding_neardup,
+    "centroid_assign": q_centroid_assign,
+}
+
+ORACLES = {
+    "knn_brute": SQL_KNN_BRUTE,
+    "ann_lsh_bucket": SQL_ANN_LSH,
+    "embedding_neardup_pairs": SQL_EMB_NEARDUP,
+    "centroid_assign": SQL_CENTROID_ASSIGN,
+}

@@ -1,0 +1,320 @@
+"""Text-quality queries over the `documents` table.
+
+These are the SQL-expressible faces of the quality-filter pipeline
+(SURVEY.md §2.2 P1/P6, §2.7 F4/F6; north_rule heuristic rules): rule
+statistics, keep/drop decision, PII scrub, token counting,
+fingerprinting, quality scoring. Each Spark program has an oracle SQL
+twin generated from the same constants.
+
+Reference parity notes:
+- rule stats = the Gopher/C4 heuristics named by BASELINE.json
+  north_star (mean word length, symbol-to-word ratio, repeated-line
+  fraction, stopword density).
+- keep/drop = reference's per-row decision envelope
+  (curator's parse→filter semantics, base_request_processor.py:387-420)
+  restated as a CASE precedence chain.
+- scrub = compiled-regex rewrite (north_rule PII/toxicity scrub);
+  python `re` on the Spark side (pandas UDF), RE2 on the DuckDB side —
+  patterns are written RE2-compatible so both agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from curator_spark.config import DEFAULT_CONFIG as CFG
+from curator_spark.functions import textstats as ts
+from curator_spark.functions.scrub_core import SCRUB_RULES
+from curator_spark.queries.common import sql_stopword_list, sql_words, t
+from curator_spark.stages.scrub import with_scrub
+
+# BPE-ish token pattern: letter runs | digit runs | single other symbol.
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+# ---------------------------------------------------------------------------
+# rule_stats
+# ---------------------------------------------------------------------------
+
+def q_rule_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    s = ts.all_stats(F.col("text"))
+    return d.select(
+        "doc_id",
+        s["word_count"].cast("long").alias("word_count"),
+        F.round(s["mean_word_length"], 6).alias("mean_word_length"),
+        F.round(s["symbol_ratio"], 6).alias("symbol_ratio"),
+        F.round(s["repeated_line_fraction"], 6).alias("repeated_line_fraction"),
+        F.round(s["stopword_density"], 6).alias("stopword_density"),
+    )
+
+
+def sql_rule_stats() -> str:
+    sym = ts.SYMBOL_CLASS
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+    {sql_words()} AS ws,
+    length(regexp_replace(text, '\\s+', '', 'g')) AS nws,
+    length(text) - length(regexp_replace(text, '{sym}', '', 'g')) AS symc,
+    list_filter(regexp_split_to_array(text, '\\n'), l -> trim(l) <> '') AS ls
+  FROM documents
+)
+SELECT doc_id,
+  len(ws)::BIGINT AS word_count,
+  round(CASE WHEN len(ws) > 0 THEN nws::DOUBLE / len(ws) ELSE 0.0 END, 6)
+    AS mean_word_length,
+  round(CASE WHEN len(ws) > 0 THEN symc::DOUBLE / len(ws) ELSE 0.0 END, 6)
+    AS symbol_ratio,
+  round(CASE WHEN len(ls) > 0
+        THEN (len(ls) - len(list_distinct(ls)))::DOUBLE / len(ls)
+        ELSE 0.0 END, 6) AS repeated_line_fraction,
+  round(CASE WHEN len(ws) > 0
+        THEN len(list_filter(ws, x -> list_contains({sql_stopword_list()}, lower(x))))::DOUBLE
+             / len(ws)
+        ELSE 0.0 END, 6) AS stopword_density
+FROM base
+"""
+
+
+# ---------------------------------------------------------------------------
+# quality_keepdrop — CASE precedence chain (rules + claimed-lang gate).
+# The UDF-scored variant (predicted lang + perplexity) is the rows-only
+# query `quality_full_docs` in pipelineq.py.
+# ---------------------------------------------------------------------------
+
+def q_quality_keepdrop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    s = ts.all_stats(F.col("text"))
+    d = (
+        d.withColumn("wc", s["word_count"])
+        .withColumn("mwl", s["mean_word_length"])
+        .withColumn("symr", s["symbol_ratio"])
+        .withColumn("rlf", s["repeated_line_fraction"])
+        .withColumn("swd", s["stopword_density"])
+    )
+    c = F.col
+    reason = (
+        F.when(c("lang") != CFG.target_lang, F.lit("langid"))
+        .when((c("wc") < CFG.min_words) | (c("wc") > CFG.max_words),
+              F.lit("rule:word_count"))
+        .when((c("mwl") < CFG.min_mean_word_length)
+              | (c("mwl") > CFG.max_mean_word_length),
+              F.lit("rule:mean_word_length"))
+        .when(c("symr") > CFG.max_symbol_to_word_ratio, F.lit("rule:symbol_ratio"))
+        .when(c("rlf") > CFG.max_repeated_line_fraction, F.lit("rule:repeated_lines"))
+        .when(c("swd") < CFG.min_stopword_density, F.lit("rule:stopword_density"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return d.select(
+        "doc_id",
+        reason.alias("drop_reason"),
+        reason.isNull().alias("keep"),
+    )
+
+
+def sql_quality_keepdrop() -> str:
+    sym = ts.SYMBOL_CLASS
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang,
+    {sql_words()} AS ws,
+    length(regexp_replace(text, '\\s+', '', 'g')) AS nws,
+    length(text) - length(regexp_replace(text, '{sym}', '', 'g')) AS symc,
+    list_filter(regexp_split_to_array(text, '\\n'), l -> trim(l) <> '') AS ls
+  FROM documents
+), st AS (
+  SELECT doc_id, lang,
+    len(ws) AS wc,
+    CASE WHEN len(ws) > 0 THEN nws::DOUBLE / len(ws) ELSE 0.0 END AS mwl,
+    CASE WHEN len(ws) > 0 THEN symc::DOUBLE / len(ws) ELSE 0.0 END AS symr,
+    CASE WHEN len(ls) > 0
+         THEN (len(ls) - len(list_distinct(ls)))::DOUBLE / len(ls)
+         ELSE 0.0 END AS rlf,
+    CASE WHEN len(ws) > 0
+         THEN len(list_filter(ws, x -> list_contains({sql_stopword_list()}, lower(x))))::DOUBLE
+              / len(ws)
+         ELSE 0.0 END AS swd
+  FROM base
+)
+SELECT doc_id,
+  CASE WHEN lang <> '{CFG.target_lang}' THEN 'langid'
+       WHEN wc < {CFG.min_words} OR wc > {CFG.max_words} THEN 'rule:word_count'
+       WHEN mwl < {CFG.min_mean_word_length} OR mwl > {CFG.max_mean_word_length}
+         THEN 'rule:mean_word_length'
+       WHEN symr > {CFG.max_symbol_to_word_ratio} THEN 'rule:symbol_ratio'
+       WHEN rlf > {CFG.max_repeated_line_fraction} THEN 'rule:repeated_lines'
+       WHEN swd < {CFG.min_stopword_density} THEN 'rule:stopword_density'
+       END AS drop_reason,
+  (CASE WHEN lang <> '{CFG.target_lang}' THEN 'langid'
+       WHEN wc < {CFG.min_words} OR wc > {CFG.max_words} THEN 'rule:word_count'
+       WHEN mwl < {CFG.min_mean_word_length} OR mwl > {CFG.max_mean_word_length}
+         THEN 'rule:mean_word_length'
+       WHEN symr > {CFG.max_symbol_to_word_ratio} THEN 'rule:symbol_ratio'
+       WHEN rlf > {CFG.max_repeated_line_fraction} THEN 'rule:repeated_lines'
+       WHEN swd < {CFG.min_stopword_density} THEN 'rule:stopword_density'
+       END) IS NULL AS keep
+FROM st
+"""
+
+
+# ---------------------------------------------------------------------------
+# scrub_pii — sequential compiled-regex rewrite + per-rule counts.
+# ---------------------------------------------------------------------------
+
+def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    d = with_scrub(d, "text")
+    return d.select(
+        "doc_id",
+        "scrubbed_text",
+        F.col("scrub_counts.emails").alias("n_emails"),
+        F.col("scrub_counts.ids").alias("n_ids"),
+        F.col("scrub_counts.phones").alias("n_phones"),
+        F.col("scrub_counts.toxic").alias("n_toxic"),
+    )
+
+
+def sql_scrub_pii() -> str:
+    # apply rules sequentially, counting BEFORE each rewrite — exactly
+    # what scrub_core.scrub_series does.
+    cur = "text"
+    counts = []
+    for name, pat, repl in SCRUB_RULES:
+        p = pat.replace("'", "''")
+        counts.append((name, f"len(regexp_extract_all({cur}, '{p}'))::BIGINT"))
+        cur = f"regexp_replace({cur}, '{p}', '{repl}', 'g')"
+    alias = {"emails": "n_emails", "ids": "n_ids",
+             "phones": "n_phones", "toxic": "n_toxic"}
+    count_cols = ",\n  ".join(f"{expr} AS {alias[name]}" for name, expr in counts)
+    return f"""
+SELECT doc_id,
+  {cur} AS scrubbed_text,
+  {count_cols}
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# token_stats
+# ---------------------------------------------------------------------------
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        ts.word_count(F.col("text")).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(TOKEN_RE), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+def sql_token_stats() -> str:
+    pat = TOKEN_RE
+    return f"""
+SELECT doc_id,
+  len({sql_words()})::BIGINT AS n_ws_tokens,
+  len(regexp_extract_all(text, '{pat}'))::BIGINT AS n_bpe_tokens,
+  length(text)::BIGINT AS n_chars
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# doc_fingerprint — md5 over whitespace-normalized lowercased text
+# (reference F1/F2 fingerprint semantics, llm/llm.py:147-172).
+# ---------------------------------------------------------------------------
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    return d.select("doc_id", F.md5(norm.cast("binary")).alias("fingerprint"))
+
+
+def sql_doc_fingerprint() -> str:
+    return """
+SELECT doc_id,
+  md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# quality_score — composite [0,1] score; every float op is a fixed
+# left-to-right chain so both engines produce bit-identical doubles
+# (rounded to 6 anyway).
+# ---------------------------------------------------------------------------
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    s = ts.all_stats(F.col("text"))
+    swd_cap = F.least(s["stopword_density"] * 2.0, F.lit(1.0))
+    sym_cap = F.least(s["symbol_ratio"] * 5.0, F.lit(1.0))
+    wc = s["word_count"]
+    len_score = F.when(wc >= 30, F.lit(1.0)).otherwise(wc / F.lit(30.0))
+    score = swd_cap * 0.4 + (F.lit(1.0) - sym_cap) * 0.3 + len_score * 0.3
+    return d.select("doc_id", F.round(score, 6).alias("quality_score"))
+
+
+def sql_quality_score() -> str:
+    sym = ts.SYMBOL_CLASS
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+    {sql_words()} AS ws,
+    length(text) - length(regexp_replace(text, '{sym}', '', 'g')) AS symc
+  FROM documents
+), st AS (
+  SELECT doc_id,
+    len(ws) AS wc,
+    CASE WHEN len(ws) > 0 THEN symc::DOUBLE / len(ws) ELSE 0.0 END AS symr,
+    CASE WHEN len(ws) > 0
+         THEN len(list_filter(ws, x -> list_contains({sql_stopword_list()}, lower(x))))::DOUBLE
+              / len(ws)
+         ELSE 0.0 END AS swd
+  FROM base
+)
+SELECT doc_id,
+  round(least(swd * 2.0, 1.0) * 0.4
+        + (1.0 - least(symr * 5.0, 1.0)) * 0.3
+        + (CASE WHEN wc >= 30 THEN 1.0 ELSE wc / 30.0 END) * 0.3, 6)
+    AS quality_score
+FROM st
+"""
+
+
+# ---------------------------------------------------------------------------
+# lang_distribution — simple agg (reference A6 error-histogram shape).
+# ---------------------------------------------------------------------------
+
+def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+
+
+def sql_lang_distribution() -> str:
+    return "SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang"
+
+
+QUERIES = {
+    "rule_stats": q_rule_stats,
+    "quality_keepdrop": q_quality_keepdrop,
+    "scrub_pii": q_scrub_pii,
+    "token_stats": q_token_stats,
+    "doc_fingerprint": q_doc_fingerprint,
+    "quality_score": q_quality_score,
+    "lang_distribution": q_lang_distribution,
+}
+
+ORACLES = {
+    "rule_stats": sql_rule_stats(),
+    "quality_keepdrop": sql_quality_keepdrop(),
+    "scrub_pii": sql_scrub_pii(),
+    "token_stats": sql_token_stats(),
+    "doc_fingerprint": sql_doc_fingerprint(),
+    "quality_score": sql_quality_score(),
+    "lang_distribution": sql_lang_distribution(),
+}
