@@ -49,7 +49,7 @@ HEADLINE = [
     "events_hourly_rollup",
 ]
 
-BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "120000"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "240000"))
 
 
 def _force(df) -> None:
@@ -107,11 +107,15 @@ def run_pipeline_at(cores: int, pages: str, n_rows: int) -> float:
     spark = _session(cores, f"bench-pipeline-{cores}")
     cfg = QualityConfig()
     # warm-up: JVM + python workers + model build (excluded from timing,
-    # mirrors a long-running job where model load amortizes to ~0)
-    warm = spark.read.parquet(pages).limit(2048)
+    # mirrors a long-running job where model load amortizes to ~0).
+    # repartition so every worker slot spins up and builds its model.
+    warm = spark.read.parquet(pages).limit(4096).repartition(cores)
     _force(quality_plan(warm, cfg, text_col="text").drop("scrub_counts"))
     t0 = time.perf_counter()
-    df = spark.read.parquet(pages)
+    # local parquet is a handful of small files that coalesce into too few
+    # scan partitions to feed all cores — fan out first (on a real cluster
+    # the input snapshot already has >> executor-count splits)
+    df = spark.read.parquet(pages).repartition(cores * 3)
     df = with_bucket(df, cfg.n_buckets)
     out = quality_plan(df, cfg, text_col="text").select(
         "url", "bucket_id", "lang_pred", "lang_score", "perplexity",

@@ -1,0 +1,139 @@
+"""spark-submit entry point for the quality-filter pipeline.
+
+North-rule deployment shape: `spark-submit --py-files curator_spark.zip
+--files langid_lm.npz cli.py --input ... --out ...` — the package zip
+makes the Arrow UDFs importable on executors, and the model artifact
+rides SparkFiles (the reference ships its "model" as an API endpoint /
+vLLM checkpoint instead; SURVEY §2.8 M2). `submit_command()` prints the
+exact command line; running `python -m curator_spark.cli` locally is
+equivalent because engine/session.ship_package addPyFile's the same
+zip.
+
+Exit codes: 0 ok, 3 = failed rows with require_all_rows (the
+reference's require_all_responses hard-fail,
+reference: request_processor/config.py:30).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shlex
+import sys
+import tempfile
+
+from curator_spark.config import QualityConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="curator-spark")
+    p.add_argument("--input", required=True, help="pages parquet dir")
+    p.add_argument("--out", required=True, help="output snapshot-table root")
+    p.add_argument("--cores", type=int,
+                   default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    p.add_argument("--master", default=None,
+                   help="override master (default local[cores]; under "
+                        "spark-submit pass --master there instead)")
+    p.add_argument("--buckets", type=int, default=None,
+                   help="override cfg.n_buckets")
+    p.add_argument("--max-buckets", type=int, default=None,
+                   help="process at most N not-yet-committed buckets "
+                        "(incremental run)")
+    p.add_argument("--from-text", action="store_true",
+                   help="score the text column directly (skip html extract)")
+    p.add_argument("--target-lang", default=None)
+    p.add_argument("--allow-failed-rows", action="store_true",
+                   help="disable require_all_rows strictness")
+    p.add_argument("--ship-model-npz", action="store_true",
+                   help="materialize model tables to an .npz and ship via "
+                        "SparkFiles instead of training in-worker")
+    p.add_argument("--print-submit", action="store_true",
+                   help="print the spark-submit command line and exit")
+    return p
+
+
+def make_config(args: argparse.Namespace) -> QualityConfig:
+    overrides = {}
+    if args.buckets is not None:
+        overrides["n_buckets"] = args.buckets
+    if args.target_lang is not None:
+        overrides["target_lang"] = args.target_lang
+    if args.allow_failed_rows:
+        overrides["require_all_rows"] = False
+    import dataclasses
+
+    return dataclasses.replace(QualityConfig(), **overrides)
+
+
+def submit_command(args: argparse.Namespace) -> str:
+    from curator_spark.engine.packaging import build_pyfiles_zip
+
+    zip_path = build_pyfiles_zip()
+    parts = [
+        "spark-submit",
+        "--master", args.master or f"local[{args.cores}]",
+        "--py-files", zip_path,
+        "--conf", "spark.sql.execution.arrow.pyspark.enabled=true",
+        "--conf", "spark.sql.adaptive.enabled=true",
+    ]
+    if args.ship_model_npz:
+        npz = os.path.join(tempfile.mkdtemp(prefix="curator_model_"),
+                           "langid_lm.npz")
+        from curator_spark.functions.vectorized import save_artifacts
+
+        save_artifacts(npz, QualityConfig().langs)
+        parts += ["--files", npz]
+    parts += [os.path.abspath(__file__),
+              "--input", args.input, "--out", args.out]
+    return shlex.join(parts)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.print_submit:
+        print(submit_command(args))
+        return 0
+
+    cfg = make_config(args)
+
+    from curator_spark.engine.session import get_spark
+    from curator_spark.pipeline.run import QualityPipeline
+
+    spark = get_spark("curator-spark-cli", cores=args.cores,
+                      extra_conf=(
+                          {"spark.master": args.master} if args.master else None
+                      ))
+    if args.ship_model_npz:
+        npz = os.path.join(tempfile.mkdtemp(prefix="curator_model_"),
+                           "langid_lm.npz")
+        from curator_spark.functions.vectorized import save_artifacts
+
+        save_artifacts(npz, cfg.langs)
+        spark.sparkContext.addFile(npz)
+        os.environ["SPARK_LANGID_NPZ"] = npz
+
+    pipe = QualityPipeline(args.out, cfg)
+    try:
+        res = pipe.run(
+            spark, args.input,
+            max_buckets=args.max_buckets,
+            from_html=not args.from_text,
+        )
+    except RuntimeError as e:
+        print(json.dumps({"error": str(e)}))
+        return 3
+    print(json.dumps({
+        "fingerprint": res.fingerprint,
+        "cached": res.cached,
+        "buckets_processed": res.buckets_processed,
+        "docs_seen": res.docs_seen,
+        "docs_kept": res.docs_kept,
+        "failed_rows": res.failed_rows,
+        "snapshot_id": res.snapshot_id,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

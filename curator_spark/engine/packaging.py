@@ -39,10 +39,19 @@ def build_pyfiles_zip(dest_dir: str | None = None) -> str:
 
 
 def ship_package(spark) -> None:
+    # already shipped externally (spark-submit --py-files): the package
+    # itself is imported out of the submitted zip — nothing to do, and
+    # addPyFile of a same-named zip would be rejected.
+    if ".zip" in os.path.abspath(curator_spark.__file__):
+        return
     sc = spark.sparkContext
     key = id(sc)
     if key in _SHIPPED:
         return
     zip_path = build_pyfiles_zip()
-    sc.addPyFile(zip_path)
+    try:
+        sc.addPyFile(zip_path)
+    except Exception as e:  # same-name file already registered on this sc
+        if "already" not in str(e).lower():
+            raise
     _SHIPPED[key] = zip_path

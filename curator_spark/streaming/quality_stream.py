@@ -1,0 +1,125 @@
+"""Structured Streaming face of the quality-filter pipeline.
+
+The reference is a batch system whose "streaming" is incremental file
+append + resume bookkeeping (reference: base_online_request_processor
+.py:609-631 — append one JSONL line per completed response; SURVEY
+§2.9). Spark restates that capability properly: the SAME logical plan
+(`quality_plan` — rules exprs + Arrow UDF stages + scrub, all
+stateless maps) runs unchanged under `readStream`, and the streaming
+engine's checkpoint (source offsets + file-sink transaction log)
+replaces the reference's completed-id resume scan: a killed run
+restarted with the same checkpoint processes each input file exactly
+once.
+
+Two entry points:
+- `score_stream`: file-source stream of pages -> scored stream
+  (stateless; any sink/trigger).
+- `run_available_now`: drain everything currently in the input dir to
+  a parquet sink and stop — incremental batch, the Spark-native analog
+  of the reference's "process whatever request files exist" loop
+  (base:requests_to_responses). Re-running after new files arrive
+  processes ONLY the new files (checkpoint), i.e. row-level resume
+  without any custom bookkeeping.
+- `keep_rate_stream`: watermarked event-time windowed aggregation of
+  keep/drop counts — late pages beyond the watermark are dropped
+  deterministically.
+
+Scale notes: stateless stages keep the stream shuffle-free end-to-end;
+only `keep_rate_stream` shuffles (by window x decision), with
+watermark-bounded state. maxFilesPerTrigger bounds per-batch memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from curator_spark.config import QualityConfig
+from curator_spark.engine.schema import PAGES
+from curator_spark.pipeline.run import OUT_COLS, quality_plan, with_bucket
+
+
+def score_stream(
+    spark: SparkSession,
+    input_dir: str,
+    cfg: QualityConfig | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    cfg = cfg or QualityConfig()
+    reader = spark.readStream.schema(PAGES)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    pages = reader.parquet(input_dir)
+    pages = with_bucket(pages, cfg.n_buckets)
+    pages = pages.withColumn("doc_text", F.col("text"))
+    scored = quality_plan(pages, cfg, text_col="doc_text")
+    return scored.select("warc_ts", *OUT_COLS)
+
+
+def run_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    cfg: QualityConfig | None = None,
+) -> StreamingQuery:
+    """Drain all currently-available input, then stop (incremental)."""
+    scored = score_stream(spark, input_dir, cfg)
+    q = (
+        scored.drop("warc_ts")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def keep_rate_stream(
+    spark: SparkSession,
+    input_dir: str,
+    cfg: QualityConfig | None = None,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Event-time keep/drop counts with late-data watermark.
+
+    In append mode a window is emitted once the watermark passes its
+    end; bound files-per-trigger (several micro-batches) so the
+    watermark actually advances across a static backlog."""
+    scored = score_stream(spark, input_dir, cfg, max_files_per_trigger)
+    return (
+        scored.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), F.col("keep"))
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "keep",
+            "n_docs",
+        )
+    )
+
+
+def run_keep_rate_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    cfg: QualityConfig | None = None,
+) -> StreamingQuery:
+    agg = keep_rate_stream(spark, input_dir, cfg, max_files_per_trigger=1)
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
