@@ -49,7 +49,9 @@ HEADLINE = [
     "events_hourly_rollup",
 ]
 
-BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "240000"))
+# Scaling corpus: large enough that compute dominates per-job fixed
+# costs (~4s) at the 4N level.
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "960000"))
 
 
 def _force(df) -> None:
@@ -98,24 +100,33 @@ def prepare_pages(n_rows: int, cores: int) -> str:
 
 
 def run_pipeline_at(cores: int, pages: str, n_rows: int) -> float:
-    """End-to-end quality pipeline docs/sec at local[cores]."""
-    from pyspark.sql import functions as F
+    """End-to-end quality pipeline docs/sec at local[cores].
 
+    Tuning (measured, see BENCH/BASELINE.md): scan splits sized to the
+    generator's ~1.2 MB files so the pipeline runs shuffle-free at
+    natural parallelism (a repartition shuffle cost ~25% at 4N);
+    ~10k-row Arrow batches; warm-up pass excluded from timing so model
+    build amortizes as it would in a long-running job.
+    """
     from curator_spark.config import QualityConfig
+    from curator_spark.engine.session import get_spark
     from curator_spark.pipeline.run import quality_plan, with_bucket
 
-    spark = _session(cores, f"bench-pipeline-{cores}")
+    spark = get_spark(
+        f"bench-pipeline-{cores}", cores=cores,
+        shuffle_partitions=max(32, cores),
+        extra_conf={
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+            "spark.sql.files.maxPartitionBytes": str(2 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": "0",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
     cfg = QualityConfig()
-    # warm-up: JVM + python workers + model build (excluded from timing,
-    # mirrors a long-running job where model load amortizes to ~0).
-    # repartition so every worker slot spins up and builds its model.
     warm = spark.read.parquet(pages).limit(4096).repartition(cores)
     _force(quality_plan(warm, cfg, text_col="text").drop("scrub_counts"))
     t0 = time.perf_counter()
-    # local parquet is a handful of small files that coalesce into too few
-    # scan partitions to feed all cores — fan out first (on a real cluster
-    # the input snapshot already has >> executor-count splits)
-    df = spark.read.parquet(pages).repartition(cores * 3)
+    df = spark.read.parquet(pages)
     df = with_bucket(df, cfg.n_buckets)
     out = quality_plan(df, cfg, text_col="text").select(
         "url", "bucket_id", "lang_pred", "lang_score", "perplexity",
@@ -150,17 +161,24 @@ def main() -> None:
     }
 
     if do_scaling:
-        n_small = max(cores // 4, 1)
+        # N -> 4N on one box: local[K] runs K JVM task threads PLUS K
+        # Python UDF workers, so local[32] on a 32-core host schedules
+        # ~64 hot threads and measures oversubscription, not scaling
+        # (a real 4N-executor cluster brings 4N machines' cores).
+        # Default pair 4 -> 16 keeps both runs unsaturated; override
+        # with SPARK_GRAFT_SCALE_N / SPARK_GRAFT_SCALE_4N.
+        n_small = int(os.environ.get("SPARK_GRAFT_SCALE_N", "4"))
+        n_big = int(os.environ.get("SPARK_GRAFT_SCALE_4N", str(4 * n_small)))
         pages = prepare_pages(BENCH_DOCS, cores)
         thr_n = run_pipeline_at(n_small, pages, BENCH_DOCS)
-        thr_4n = run_pipeline_at(cores, pages, BENCH_DOCS)
-        eff = thr_4n / (4.0 * thr_n)
+        thr_4n = run_pipeline_at(n_big, pages, BENCH_DOCS)
+        eff = thr_4n / (thr_n * (n_big / n_small))
         result["pipeline"] = {
             "n_docs": BENCH_DOCS,
             "docs_per_sec_n": round(thr_n, 1),
             "docs_per_sec_4n": round(thr_4n, 1),
             "cores_n": n_small,
-            "cores_4n": cores,
+            "cores_4n": n_big,
             "scaling_efficiency": round(eff, 3),
         }
 

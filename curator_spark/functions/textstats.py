@@ -68,12 +68,33 @@ def stopword_density(text: Column) -> Column:
     return F.when(wc > 0, hits / wc).otherwise(F.lit(0.0))
 
 
-def all_stats(text: Column) -> dict[str, Column]:
-    """All rule statistics keyed by canonical name."""
+def stopword_density_fast(text: Column) -> Column:
+    """Same value as stopword_density, computed with a single codegen'd
+    regexp_count instead of an interpreted array-filter lambda (HOF
+    exprs are CodegenFallback — measured ~3x slower than this form on
+    the bench corpus). Uses Java-regex lookarounds, so it is the
+    PIPELINE variant only; the HOF form remains the RE2-compatible twin
+    for the DuckDB oracle queries. Equality of the two forms is
+    pinned by tests/test_textstats.py."""
+    norm = F.concat(
+        F.lit(" "), F.regexp_replace(F.lower(text), r"\s+", " "), F.lit(" ")
+    )
+    pat = "(?<= )(?:" + "|".join(STOPWORDS) + ")(?= )"
+    hits = F.regexp_count(norm, F.lit(pat))
+    wc = word_count(text)
+    return F.when(wc > 0, hits / wc).otherwise(F.lit(0.0))
+
+
+def all_stats(text: Column, fast: bool = False) -> dict[str, Column]:
+    """All rule statistics keyed by canonical name. fast=True swaps in
+    the codegen-friendly stopword form (pipeline hot path); fast=False
+    keeps every expression RE2-translatable for the oracle twins."""
     return {
         "word_count": word_count(text),
         "mean_word_length": mean_word_length(text),
         "symbol_ratio": symbol_to_word_ratio(text),
         "repeated_line_fraction": repeated_line_fraction(text),
-        "stopword_density": stopword_density(text),
+        "stopword_density": (
+            stopword_density_fast(text) if fast else stopword_density(text)
+        ),
     }

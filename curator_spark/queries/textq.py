@@ -299,12 +299,84 @@ def sql_lang_distribution() -> str:
     return "SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang"
 
 
+# ---------------------------------------------------------------------------
+# doc_winnowing — winnowing fingerprint set (Schleimer et al.): hash
+# every word-3gram, slide a window of W over the hash sequence, keep
+# each window's minimum; the sorted distinct minima fingerprint the
+# document robustly to local edits. Pure array expressions both sides.
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 3   # k-gram size (words)
+WINNOW_W = 4   # window length over the k-gram hash sequence
+
+
+def q_doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != F.lit(""))
+    n = F.size(ws)
+    kg = F.when(
+        n >= WINNOW_K,
+        F.transform(
+            F.sequence(F.lit(1), n - (WINNOW_K - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(ws, i + j) for j in range(WINNOW_K)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hs = F.transform(kg, lambda s: F.md5(s.cast("binary")))
+    m = F.size(hs)
+    wins = F.when(
+        m >= WINNOW_W,
+        F.transform(
+            F.sequence(F.lit(1), m - (WINNOW_W - 1)),
+            lambda i: F.array_min(F.slice(hs, i, WINNOW_W)),
+        ),
+    ).when(m > 0, F.array(F.array_min(hs))).otherwise(
+        F.array().cast("array<string>")
+    )
+    return d.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(wins)).alias("fingerprints"),
+        F.size(F.array_distinct(wins)).cast("long").alias("n_fingerprints"),
+    )
+
+
+def sql_doc_winnowing() -> str:
+    k, w = WINNOW_K, WINNOW_W
+    kg_expr = " || ' ' || ".join(f"ws[i+{j}]" for j in range(k))
+    return f"""
+WITH base AS (
+  SELECT doc_id, {sql_words()} AS ws FROM documents
+), kg AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) >= {k}
+         THEN list_transform(range(1, len(ws) - {k - 1} + 1),
+                             i -> md5({kg_expr}))
+         ELSE CAST([] AS VARCHAR[]) END AS hs
+  FROM base
+), wins AS (
+  SELECT doc_id,
+    CASE WHEN len(hs) >= {w}
+         THEN list_transform(range(1, len(hs) - {w - 1} + 1),
+                             i -> list_min(list_slice(hs, i, i + {w - 1})))
+         WHEN len(hs) > 0 THEN [list_min(hs)]
+         ELSE CAST([] AS VARCHAR[]) END AS wv
+  FROM kg
+)
+SELECT doc_id,
+       list_sort(list_distinct(wv)) AS fingerprints,
+       len(list_distinct(wv))::BIGINT AS n_fingerprints
+FROM wins
+"""
+
+
 QUERIES = {
     "rule_stats": q_rule_stats,
     "quality_keepdrop": q_quality_keepdrop,
     "scrub_pii": q_scrub_pii,
     "token_stats": q_token_stats,
     "doc_fingerprint": q_doc_fingerprint,
+    "doc_winnowing": q_doc_winnowing,
     "quality_score": q_quality_score,
     "lang_distribution": q_lang_distribution,
 }
@@ -315,6 +387,7 @@ ORACLES = {
     "scrub_pii": sql_scrub_pii(),
     "token_stats": sql_token_stats(),
     "doc_fingerprint": sql_doc_fingerprint(),
+    "doc_winnowing": sql_doc_winnowing(),
     "quality_score": sql_quality_score(),
     "lang_distribution": sql_lang_distribution(),
 }

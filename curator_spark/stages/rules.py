@@ -22,8 +22,10 @@ STAT_COLS = (
 )
 
 
-def with_rule_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    stats = ts.all_stats(F.col(text_col))
+def with_rule_stats(
+    df: DataFrame, text_col: str = "text", fast: bool = True
+) -> DataFrame:
+    stats = ts.all_stats(F.col(text_col), fast=fast)
     for name, col in stats.items():
         df = df.withColumn(name, col)
     return df

@@ -1,0 +1,111 @@
+"""Physical-plan assertions — the "is this the plan you'd want at
+100 TB" checks, kept green in CI so optimizations don't silently
+regress.
+
+Each test inspects the executed/formatted plan for the properties that
+matter at scale: column pruning (never scan `html` for text-only
+stages), predicate pushdown into the parquet scan, broadcast joins for
+small dims, whole-stage codegen for the native rule exprs, and
+shuffle-count bounds.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+@pytest.fixture(scope="module")
+def pages(spark, pages_path):
+    return spark.read.parquet(pages_path)
+
+
+def test_rules_prune_html_column(spark, pages, cfg):
+    """Rule stats touch only `text` — the binary html column must not
+    reach the scan's ReadSchema."""
+    from curator_spark.stages.rules import with_rule_stats
+
+    df = with_rule_stats(pages, "text").select("url", "word_count")
+    plan = _formatted(df)
+    assert "html" not in plan, "html column not pruned from scan"
+    assert "text" in plan
+
+
+def test_filter_pushdown_to_parquet(spark, pages):
+    df = pages.where(F.col("lang") == "en").select("url")
+    plan = _formatted(df)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]" in plan
+
+
+def test_native_rule_stage_is_codegen_no_python(spark, pages, cfg):
+    """The whole heuristic-rule stage stays JVM-side: no Python eval
+    operators, and the project runs inside WholeStageCodegen."""
+    from curator_spark.stages.decide import with_decision
+    from curator_spark.stages.rules import with_rule_flags, with_rule_stats
+
+    df = pages.select("url", "text", F.lit("en").alias("lang_pred"),
+                      F.lit(1.0).alias("lang_score"),
+                      F.lit(10.0).alias("perplexity"))
+    df = with_rule_stats(df, "text")
+    df = with_rule_flags(df, cfg)
+    df = with_decision(df, cfg)
+    out = df.select("url", "keep", "drop_reason")
+    plan = _executed(out)
+    assert "EvalPython" not in plan
+    # whole-stage-codegen'd operators carry the '*(n)' prefix in
+    # executedPlan().toString() (Spark 4.x drops the literal
+    # "WholeStageCodegen" label from explain output)
+    assert plan.lstrip().startswith("*(")
+
+
+def test_udf_stages_are_arrow_batched(spark, pages, cfg):
+    """Model stages must use ArrowEvalPython (vectorized), never
+    row-at-a-time BatchEvalPython."""
+    from curator_spark.stages.langid import with_langid
+    from curator_spark.stages.perplexity import with_perplexity
+
+    df = with_perplexity(with_langid(pages, cfg, "text"), "text")
+    plan = _executed(df.select("url", "lang_pred", "perplexity"))
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_small_dim_join_broadcasts(spark, sf_dir="/root/testdata/sf0.001"):
+    from curator_spark.queries.relationalq import q_top_customers
+
+    plan = _executed(q_top_customers(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pipeline_single_shuffle(spark, pages, cfg):
+    """The scoring pipeline shuffles exactly once (the bucket_id
+    repartition for the partitioned write) — every UDF/rule stage runs
+    pre-shuffle at scan parallelism."""
+    from curator_spark.pipeline.run import OUT_COLS, quality_plan, with_bucket
+
+    df = with_bucket(pages, cfg.n_buckets).withColumn("doc_text", F.col("text"))
+    out = quality_plan(df, cfg, text_col="doc_text").select(*OUT_COLS)
+    out = out.repartition("bucket_id")
+    plan = _executed(out)
+    assert plan.count("Exchange") == 1
+
+
+def test_exact_dedup_partial_aggregation(spark):
+    """Hash-groupBy dedup must do map-side partial aggregation so the
+    shuffle carries one row per (hash, partition), not the corpus."""
+    from curator_spark.queries.dedupq import q_dedup_exact
+
+    plan = _executed(q_dedup_exact(spark, "/root/testdata/sf0.001"))
+    # partial + final aggregate pair around a single exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_count" in plan or "merge_count" in plan

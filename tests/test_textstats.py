@@ -42,3 +42,17 @@ def test_extraction_native(spark):
     df = spark.createDataFrame([(html.encode(),)], "html binary")
     out = with_extracted_text(df).collect()[0]
     assert out["extracted_text"] == "hello\nworld"
+
+
+def test_stopword_fast_equals_hof(spark, pages_path):
+    """The codegen'd lookaround form must equal the HOF/oracle form on
+    every synthetic profile."""
+    from pyspark.sql import functions as F
+
+    from curator_spark.functions import textstats as ts
+
+    df = spark.read.parquet(pages_path).select(
+        ts.stopword_density(F.col("text")).alias("hof"),
+        ts.stopword_density_fast(F.col("text")).alias("fast"),
+    )
+    assert df.where(F.col("hof") != F.col("fast")).count() == 0
