@@ -151,11 +151,82 @@ FROM events GROUP BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# clicks_before_error — range join: for each error event, how many
+# clicks the same user made in the preceding 5 minutes. Spark plans
+# equi-key (user_id) + range predicate as a hash join with a residual
+# range filter — per-user event counts are bounded, so no range
+# explosion; the pure-range-join case (no equi key) is the one that
+# needs binning at scale.
+# ---------------------------------------------------------------------------
+
+RANGE_SECONDS = 300
+
+
+def q_clicks_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"), F.col("ts").alias("ets")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("cts")
+    )
+    joined = errors.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("cts") >= F.col("ets") - F.expr(f"INTERVAL {RANGE_SECONDS} SECOND"))
+        & (F.col("cts") < F.col("ets")),
+        "left",
+    )
+    return joined.groupBy("user_id", "error_id").agg(
+        F.count("cts").alias("n_recent_clicks")
+    )
+
+
+SQL_CLICKS_BEFORE_ERROR = f"""
+SELECT e.user_id, e.event_id AS error_id,
+       count(c.ts)::BIGINT AS n_recent_clicks
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON e.user_id = c.user_id
+ AND c.ts >= e.ts - INTERVAL {RANGE_SECONDS} SECOND
+ AND c.ts < e.ts
+GROUP BY e.user_id, e.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# events_type_hour_cube — CUBE(event_type, hour-of-day): all four
+# grouping combinations in one pass (grouping-sets coverage; rollup
+# covers the hierarchical case).
+# ---------------------------------------------------------------------------
+
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").withColumn(
+        "hour", F.hour("ts").cast("long")
+    )
+    return ev.cube("event_type", "hour").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+SQL_EVENTS_CUBE = """
+SELECT event_type, hour(ts)::BIGINT AS hour,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY CUBE (event_type, hour(ts))
+"""
+
+
 QUERIES = {
     "domain_doc_stats": q_domain_doc_stats,
     "asof_last_click_before_error": q_asof_last_click,
     "revenue_rollup": q_revenue_rollup,
     "value_percentiles": q_value_percentiles,
+    "clicks_before_error": q_clicks_before_error,
+    "events_type_hour_cube": q_events_cube,
 }
 
 ORACLES = {
@@ -163,4 +234,6 @@ ORACLES = {
     "asof_last_click_before_error": SQL_ASOF_LAST_CLICK,
     "revenue_rollup": SQL_REVENUE_ROLLUP,
     "value_percentiles": SQL_VALUE_PERCENTILES,
+    "clicks_before_error": SQL_CLICKS_BEFORE_ERROR,
+    "events_type_hour_cube": SQL_EVENTS_CUBE,
 }

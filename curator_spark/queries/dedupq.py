@@ -250,11 +250,84 @@ WHERE a.doc_id < b.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# dedup_clusters — connected components over the LSH candidate pairs:
+# the step that turns pairwise near-dup hits into dedup groups (keep
+# one canonical doc per component). cluster_id = min doc_id reachable.
+#
+# Spark side: iterative min-label propagation — each round, every
+# vertex takes the min of its own label and its neighbors' labels; a
+# driver loop runs rounds until a fixpoint. Rounds needed = graph
+# diameter, and near-dup components are tiny (duplicate groups), so
+# this converges in 2-3 rounds; localCheckpoint each round truncates
+# the lineage so the plan doesn't grow exponentially. At 10^12 docs
+# this is the standard large-scale CC recipe (each round = one
+# self-equi-join + partial-agg min, all shuffle-partitioned on
+# doc_id); the large-star/small-star optimization drops in here if
+# diameters grow. Non-SQL-expressible iteration, but DuckDB's
+# recursive CTE computes the identical fixpoint, so it still gets a
+# full value-parity oracle.
+# ---------------------------------------------------------------------------
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q_dedup_minhash_lsh(spark, sf_dir)
+    edges = pairs.selectExpr("doc_a AS s", "doc_b AS d").unionAll(
+        pairs.selectExpr("doc_b AS s", "doc_a AS d")
+    ).localCheckpoint(eager=False)
+    labels = (
+        t(spark, sf_dir, "documents")
+        .select(F.col("doc_id"), F.col("doc_id").alias("label"))
+    )
+    for _ in range(30):  # diameter bound; converges long before this
+        neigh = (
+            edges.join(labels, edges["d"] == labels["doc_id"])
+            .groupBy(F.col("s").alias("doc_id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce("nlabel", "label"))
+                .alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "doc_id")
+            .where(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def _sql_clusters() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_sql_minhash()}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+walk(doc_id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT w.doc_id, e.d FROM walk w JOIN edges e ON e.s = w.r
+)
+SELECT doc_id, min(r)::BIGINT AS cluster_id FROM walk GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_normalized": q_dedup_normalized,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_clusters": q_dedup_clusters,
 }
 
 ORACLES = {
@@ -262,4 +335,5 @@ ORACLES = {
     "dedup_normalized": SQL_DEDUP_NORMALIZED,
     "dedup_jaccard_pairs": SQL_DEDUP_JACCARD,
     "dedup_minhash_lsh": _sql_minhash(),
+    "dedup_clusters": _sql_clusters(),
 }

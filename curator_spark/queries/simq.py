@@ -213,12 +213,12 @@ WHERE list_cosine_similarity(a.emb, b.emb) >= {NEARDUP_COS}
 # engines do the same grouped mean.
 # ---------------------------------------------------------------------------
 
-def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", _to_double(F.col("embedding")).alias("emb")
-    )
+def _centroids(e: DataFrame) -> DataFrame:
+    """Per-label mean vectors (c_label, cvec) — the IVF coarse codebook.
+    Grouped mean via posexplode + avg so the DuckDB twin does the
+    identical grouped mean; rounded to 9 so both engines agree."""
     exploded = e.select("label", F.posexplode("emb").alias("pos", "v"))
-    centroids = (
+    return (
         exploded.groupBy("label", "pos")
         .agg(F.round(F.avg("v"), 9).alias("cv"))
         .groupBy("label")
@@ -230,6 +230,13 @@ def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("label").alias("c_label"), "cvec")
     )
+
+
+def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _to_double(F.col("embedding")).alias("emb")
+    )
+    centroids = _centroids(e)
     return (
         e.crossJoin(F.broadcast(centroids))
         .withColumn("sim", _cosine(F.col("emb"), F.col("cvec")))
@@ -268,11 +275,133 @@ FROM scored GROUP BY vec_id
 """
 
 
+# ---------------------------------------------------------------------------
+# ann_ivf — two-stage IVF search (the ANN scale path): every vector is
+# posted to its nearest centroid's inverted list; a query ranks the
+# centroids, probes only the IVF_NPROBE nearest lists, and scores
+# candidates inside those lists. Neighbor search becomes an equi-join
+# on list id (candidates ≈ nprobe/nlist of the corpus) instead of the
+# brute-force broadcast nested loop — at 10^9 vectors with 4096 lists
+# and nprobe=8, each query touches ~0.2% of the data. Recall < 1.0 by
+# construction; knn_brute is the exact baseline it trades against.
+# ---------------------------------------------------------------------------
+
+IVF_NPROBE = 2
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _to_double(F.col("embedding")).alias("emb")
+    )
+    centroids = _centroids(e)
+    # inverted lists: vec -> nearest centroid (tie-break: smaller label)
+    lists = (
+        e.crossJoin(F.broadcast(centroids))
+        .withColumn("sim", _cosine(F.col("emb"), F.col("cvec")))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by("c_label", F.struct(-F.col("sim"), F.col("c_label")))
+            .alias("list_id"),
+            F.first("emb").alias("emb"),
+        )
+    )
+    q = e.where(F.col("vec_id") < KNN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    # probe set: top-NPROBE centroids per query
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("c_label")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("csim", _cosine(F.col("qemb"), F.col("cvec")))
+        .withColumn("crank", F.row_number().over(wq))
+        .where(F.col("crank") <= IVF_NPROBE)
+        .select("query_id", "qemb", F.col("c_label").alias("list_id"))
+    )
+    # candidate generation = equi-join on list id (THE IVF payoff)
+    cand = probes.join(F.broadcast(lists), "list_id").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+    return (
+        cand.withColumn("sim", _cosine(F.col("qemb"), F.col("emb")))
+        .withColumn("rank", F.row_number().over(wk))
+        .where(F.col("rank") <= KNN_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "rank",
+            F.round("sim", 6).alias("sim"),
+        )
+    )
+
+
+SQL_ANN_IVF = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+ex AS (
+  SELECT label,
+         unnest(list_transform(range(1, len(emb) + 1),
+                               i -> {{'pos': i, 'v': emb[i]}}),
+                recursive := true)
+  FROM e
+),
+cent AS (
+  SELECT label AS c_label, pos, round(avg(v), 9) AS cv
+  FROM ex GROUP BY label, pos
+),
+cvecs AS (
+  SELECT c_label, list(cv ORDER BY pos) AS cvec FROM cent GROUP BY c_label
+),
+assigned AS (
+  SELECT vec_id, c_label AS list_id, emb FROM (
+    SELECT vec_id, c_label, emb,
+           row_number() OVER (
+             PARTITION BY vec_id
+             ORDER BY list_cosine_similarity(emb, cvec) DESC, c_label
+           ) AS rn
+    FROM e CROSS JOIN cvecs
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, emb AS qemb FROM e
+      WHERE vec_id < {KNN_QUERIES}),
+probes AS (
+  SELECT query_id, qemb, c_label AS list_id
+  FROM (
+    SELECT query_id, qemb, c_label,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY list_cosine_similarity(qemb, cvec) DESC, c_label
+           ) AS crank
+    FROM q CROSS JOIN cvecs
+  ) WHERE crank <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT query_id, a.vec_id, list_cosine_similarity(qemb, a.emb) AS sim
+  FROM probes JOIN assigned a USING (list_id)
+  WHERE a.vec_id <> probes.query_id
+)
+SELECT query_id, vec_id AS neighbor_id, rank::BIGINT AS rank,
+       round(sim, 6) AS sim
+FROM (
+  SELECT query_id, vec_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id) AS rank
+  FROM cand
+) WHERE rank <= {KNN_K}
+"""
+
+
 QUERIES = {
     "knn_brute": q_knn_brute,
     "ann_lsh_bucket": q_ann_lsh_bucket,
     "embedding_neardup_pairs": q_embedding_neardup,
     "centroid_assign": q_centroid_assign,
+    "ann_ivf": q_ann_ivf,
 }
 
 ORACLES = {
@@ -280,4 +409,5 @@ ORACLES = {
     "ann_lsh_bucket": SQL_ANN_LSH,
     "embedding_neardup_pairs": SQL_EMB_NEARDUP,
     "centroid_assign": SQL_CENTROID_ASSIGN,
+    "ann_ivf": SQL_ANN_IVF,
 }

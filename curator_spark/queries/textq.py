@@ -370,8 +370,101 @@ FROM wins
 """
 
 
+# ---------------------------------------------------------------------------
+# langid_heuristic — dictionary-marker language ID as PURE native
+# column expressions (the n-gram-free heuristic twin of the UDF
+# langid stage): per language, count tokens that appear in that
+# language's exclusive marker lexicon; argmax with deterministic
+# tie-break. Fully codegen/JVM-side, so it is the langid you run when
+# a 10^12-row pass can't afford even an Arrow round-trip; the UDF
+# stage (stages/langid.py) is the higher-recall scorer. Marker
+# lexicons are derived from the same embedded corpora as the trigram
+# model, restricted to words unique to one language, so both engines
+# share one constant.
+# ---------------------------------------------------------------------------
+
+def _marker_lexicons() -> dict[str, list[str]]:
+    from curator_spark.models.corpora import WORDS
+
+    owners: dict[str, list[str]] = {}
+    for lang, ws in WORDS.items():
+        for w in set(ws):
+            owners.setdefault(w, []).append(lang)
+    return {
+        lang: sorted(w for w, ls in owners.items() if ls == [lang])[:40]
+        for lang in WORDS
+    }
+
+
+MARKERS = _marker_lexicons()
+
+
+def q_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != F.lit("")
+    )
+    hits = [
+        F.size(
+            F.filter(ws, lambda w: w.isin(*MARKERS[lang]))
+        ).cast("long").alias(f"h_{lang}")
+        for lang in sorted(MARKERS)
+    ]
+    scored = d.select("doc_id", F.col("lang").alias("true_lang"), *hits)
+    stack_args = ", ".join(f"'{lang}', h_{lang}" for lang in sorted(MARKERS))
+    stacked = scored.selectExpr(
+        "doc_id",
+        "true_lang",
+        f"stack({len(MARKERS)}, {stack_args}) AS (cand, hits)",
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("hits").desc(), F.col("cand"))
+    return (
+        stacked.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "true_lang",
+            F.when(F.col("hits") > 0, F.col("cand"))
+            .otherwise(F.lit("und"))
+            .alias("pred_lang"),
+            F.col("hits").alias("marker_hits"),
+        )
+    )
+
+
+def sql_langid_heuristic() -> str:
+    branches = "\nUNION ALL\n".join(
+        f"SELECT doc_id, true_lang, '{lang}' AS cand,\n"
+        f"  len(list_filter(ws, w -> list_contains(["
+        + ", ".join(f"'{w}'" for w in MARKERS[lang])
+        + "], w)))::BIGINT AS hits FROM base"
+        for lang in sorted(MARKERS)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang AS true_lang, {sql_words('lower(text)')} AS ws
+  FROM documents
+),
+stacked AS (
+{branches}
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY hits DESC, cand) AS rn
+  FROM stacked
+)
+SELECT doc_id, true_lang,
+       CASE WHEN hits > 0 THEN cand ELSE 'und' END AS pred_lang,
+       hits AS marker_hits
+FROM ranked WHERE rn = 1
+"""
+
+
 QUERIES = {
     "rule_stats": q_rule_stats,
+    "langid_heuristic": q_langid_heuristic,
     "quality_keepdrop": q_quality_keepdrop,
     "scrub_pii": q_scrub_pii,
     "token_stats": q_token_stats,
@@ -383,6 +476,7 @@ QUERIES = {
 
 ORACLES = {
     "rule_stats": sql_rule_stats(),
+    "langid_heuristic": sql_langid_heuristic(),
     "quality_keepdrop": sql_quality_keepdrop(),
     "scrub_pii": sql_scrub_pii(),
     "token_stats": sql_token_stats(),

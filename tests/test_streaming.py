@@ -81,6 +81,38 @@ def test_stream_matches_batch_and_resumes(spark, pages_path, stream_dirs, cfg):
     ).all()
 
 
+def test_stateful_dedup_across_batches(spark, pages_path, tmp_path):
+    """applyInPandasWithState keyed state must suppress urls already
+    emitted in earlier micro-batches AND earlier drains (checkpointed
+    state survives query restarts)."""
+    import glob
+
+    from curator_spark.streaming.dedup_stream import run_dedup_available_now
+
+    in_dir = str(tmp_path / "dd_in")
+    os.makedirs(in_dir)
+    out_dir = str(tmp_path / "dd_out")
+    ckpt = str(tmp_path / "dd_ckpt")
+
+    src = sorted(glob.glob(os.path.join(pages_path, "*.parquet")))
+    shutil.copy(src[0], os.path.join(in_dir, "a.parquet"))
+    run_dedup_available_now(spark, in_dir, out_dir, ckpt)
+    first = spark.read.parquet(out_dir)
+    n_first = first.count()
+    assert n_first == first.select("url").distinct().count() > 0
+
+    # second drain: one duplicate file (same urls) + one new file
+    shutil.copy(src[0], os.path.join(in_dir, "dup.parquet"))
+    shutil.copy(src[1], os.path.join(in_dir, "b.parquet"))
+    run_dedup_available_now(spark, in_dir, out_dir, ckpt)
+    out = spark.read.parquet(out_dir)
+    expect = (
+        spark.read.parquet(src[0], src[1]).select("url").distinct().count()
+    )
+    assert out.count() == expect  # dup file contributed nothing
+    assert out.select("url").distinct().count() == expect
+
+
 def test_keep_rate_windows_match_batch(spark, pages_path, tmp_path, cfg):
     out_dir = str(tmp_path / "agg_out")
     ckpt = str(tmp_path / "agg_ckpt")
