@@ -220,13 +220,139 @@ GROUP BY CUBE (event_type, hour(ts))
 """
 
 
+# ---------------------------------------------------------------------------
+# json_repair_stats — truncated-JSON repair (reference fix_json,
+# vllm_offline_request_processor.py:150-165, generalized to brace
+# balancing). Deterministically truncate events.props by (event_id %
+# 4) chars, repair by appending the brace deficit, and report per
+# event_type how many rows each parser state holds: valid as-is,
+# repaired-to-valid, unrepairable. Parsing via get_json_object /
+# json_extract so both engines apply their real JSON parser.
+# ---------------------------------------------------------------------------
+
+def q_json_repair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from curator_spark.functions.jsonfix import fix_json
+
+    ev = t(spark, sf_dir, "events")
+    trunc = F.substring(
+        F.col("props"), 1,
+        (F.length("props") - F.pmod(F.col("event_id"), F.lit(4))).cast("int"),
+    )
+    df = ev.select(
+        "event_type",
+        trunc.alias("raw"),
+        fix_json(trunc).alias("fixed"),
+    ).select(
+        "event_type",
+        F.get_json_object("raw", "$.k").isNotNull().alias("ok_raw"),
+        F.get_json_object("fixed", "$.k").isNotNull().alias("ok_fixed"),
+        F.get_json_object("fixed", "$.k").cast("long").alias("k"),
+    )
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("ok_raw").cast("long")).alias("valid_raw"),
+        F.sum((~F.col("ok_raw") & F.col("ok_fixed")).cast("long"))
+        .alias("repaired"),
+        F.sum((~F.col("ok_fixed")).cast("long")).alias("unrepairable"),
+        F.sum("k").alias("sum_k"),
+    )
+
+
+def _sql_json_repair() -> str:
+    from curator_spark.functions.jsonfix import sql_fix_json
+
+    trunc = "substr(props, 1, length(props) - (event_id % 4))"
+    fixed = sql_fix_json("raw")
+    return f"""
+WITH base AS (
+  SELECT event_type, {trunc} AS raw FROM events
+),
+fixed AS (
+  SELECT event_type, raw, {fixed} AS fixed FROM base
+),
+parsed AS (
+  SELECT event_type,
+         CASE WHEN json_valid(raw)
+              THEN json_extract(raw, '$.k') IS NOT NULL
+              ELSE false END AS ok_raw,
+         CASE WHEN json_valid(fixed)
+              THEN json_extract(fixed, '$.k') IS NOT NULL
+              ELSE false END AS ok_fixed,
+         CASE WHEN json_valid(fixed)
+              THEN CAST(json_extract(fixed, '$.k') AS BIGINT) END AS k
+  FROM fixed
+)
+SELECT event_type, count(*)::BIGINT AS n,
+       sum(CASE WHEN ok_raw THEN 1 ELSE 0 END)::BIGINT AS valid_raw,
+       sum(CASE WHEN NOT ok_raw AND ok_fixed THEN 1 ELSE 0 END)::BIGINT
+         AS repaired,
+       sum(CASE WHEN NOT ok_fixed THEN 1 ELSE 0 END)::BIGINT AS unrepairable,
+       sum(k)::BIGINT AS sum_k
+FROM parsed GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# distractor_sample — the reference's RAFT distractor-sampling join
+# (blocks/raft.py:111-178, J4/F8): each document draws K "distractor"
+# docs from a different source, pseudo-randomly but DETERMINISTICALLY
+# (rank by md5(doc_id:cand_id) — the seeded-random rule F8; unseeded
+# rand() would break resume and the oracle). Test-scale plan is a
+# broadcast cross join + per-doc top-K window; the 10^12-row path
+# replaces the cross join with a pre-bucketed candidate pool (draw
+# from md5-assigned buckets) so candidates per doc stay O(K), which
+# preserves this exact output distribution shape without the N^2.
+# ---------------------------------------------------------------------------
+
+N_DISTRACTORS = 3
+
+
+def q_distractor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    cand = d.select(
+        F.col("doc_id").alias("cand_id"), F.col("source").alias("cand_source")
+    )
+    w = Window.partitionBy("doc_id").orderBy("draw", "cand_id")
+    return (
+        d.join(F.broadcast(cand), F.col("source") != F.col("cand_source"))
+        .withColumn(
+            "draw",
+            F.md5(
+                F.concat_ws(":", F.col("doc_id"), F.col("cand_id")).cast("binary")
+            ),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= N_DISTRACTORS)
+        .select(
+            "doc_id", F.col("rk").cast("long").alias("rk"), "cand_id"
+        )
+    )
+
+
+SQL_DISTRACTOR_SAMPLE = f"""
+SELECT doc_id, rk::BIGINT AS rk, cand_id
+FROM (
+  SELECT d.doc_id, c.doc_id AS cand_id,
+         row_number() OVER (
+           PARTITION BY d.doc_id
+           ORDER BY md5(d.doc_id || ':' || c.doc_id), c.doc_id
+         ) AS rk
+  FROM documents d JOIN documents c ON d.source <> c.source
+) WHERE rk <= {N_DISTRACTORS}
+"""
+
+
 QUERIES = {
     "domain_doc_stats": q_domain_doc_stats,
     "asof_last_click_before_error": q_asof_last_click,
+    "distractor_sample": q_distractor_sample,
     "revenue_rollup": q_revenue_rollup,
     "value_percentiles": q_value_percentiles,
     "clicks_before_error": q_clicks_before_error,
     "events_type_hour_cube": q_events_cube,
+    "json_repair_stats": q_json_repair_stats,
 }
 
 ORACLES = {
@@ -236,4 +362,6 @@ ORACLES = {
     "value_percentiles": SQL_VALUE_PERCENTILES,
     "clicks_before_error": SQL_CLICKS_BEFORE_ERROR,
     "events_type_hour_cube": SQL_EVENTS_CUBE,
+    "json_repair_stats": _sql_json_repair(),
+    "distractor_sample": SQL_DISTRACTOR_SAMPLE,
 }

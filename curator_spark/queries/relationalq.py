@@ -290,8 +290,38 @@ FROM events GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# value_moving_avg — per-user 5-event moving average over event time
+# (the reference's deque(50) output-token MVA, base_online:32,581-585,
+# as a proper window frame). One shuffle on user_id; the frame scan is
+# a single ordered pass per partition.
+# ---------------------------------------------------------------------------
+
+def q_value_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    return (
+        t(spark, sf_dir, "events")
+        .withColumn("mva", F.round(F.avg("value").over(w), 6))
+        .select("event_id", "user_id", "mva")
+    )
+
+
+SQL_VALUE_MOVING_AVG = """
+SELECT event_id, user_id,
+       round(avg(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS mva
+FROM events
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
+    "value_moving_avg": q_value_moving_avg,
     "top_customers_revenue": q_top_customers,
     "orders_no_bigline": q_orders_no_bigline,
     "users_by_event_type": q_users_by_event_type,
@@ -303,6 +333,7 @@ QUERIES = {
 
 ORACLES = {
     "pricing_summary": SQL_PRICING_SUMMARY,
+    "value_moving_avg": SQL_VALUE_MOVING_AVG,
     "top_customers_revenue": SQL_TOP_CUSTOMERS,
     "orders_no_bigline": SQL_ORDERS_NO_BIGLINE,
     "users_by_event_type": SQL_USERS_BY_EVENT_TYPE,

@@ -462,6 +462,55 @@ FROM ranked WHERE rn = 1
 """
 
 
+# ---------------------------------------------------------------------------
+# doc_chunks — fixed-size substring chunking with chunk ids (the
+# reference's RAFT chunk_text, blocks/raft.py:181-186, P10). Pure
+# sequence/transform/posexplode — stays native; chunk count is
+# bounded per row so the explode blowup is len(text)/CHUNK, never
+# quadratic.
+# ---------------------------------------------------------------------------
+
+CHUNK_CHARS = 200
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    chunks = F.expr(
+        f"CASE WHEN length(text) > 0 THEN "
+        f"transform(sequence(0, int(floor((length(text)-1)/{CHUNK_CHARS}))),"
+        f" i -> substring(text, i*{CHUNK_CHARS}+1, {CHUNK_CHARS})) "
+        f"ELSE array() END"
+    )
+    return d.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_id", "chunk")
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.length("chunk").cast("long").alias("chunk_len"),
+        F.md5(F.col("chunk").cast("binary")).alias("chunk_hash"),
+    )
+
+
+def sql_doc_chunks() -> str:
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+         unnest(
+           CASE WHEN length(text) > 0 THEN
+             list_transform(
+               range(0, cast(floor((length(text)-1)/{CHUNK_CHARS}) AS BIGINT) + 1),
+               i -> {{'chunk_id': i,
+                      'chunk': substr(text, (i*{CHUNK_CHARS}+1)::INT, {CHUNK_CHARS})}})
+           ELSE CAST([] AS STRUCT(chunk_id BIGINT, chunk VARCHAR)[]) END,
+           recursive := true)
+  FROM documents
+)
+SELECT doc_id, chunk_id, length(chunk)::BIGINT AS chunk_len,
+       md5(chunk) AS chunk_hash
+FROM c
+"""
+
+
 QUERIES = {
     "rule_stats": q_rule_stats,
     "langid_heuristic": q_langid_heuristic,
@@ -470,6 +519,7 @@ QUERIES = {
     "token_stats": q_token_stats,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_winnowing": q_doc_winnowing,
+    "doc_chunks": q_doc_chunks,
     "quality_score": q_quality_score,
     "lang_distribution": q_lang_distribution,
 }
@@ -482,6 +532,7 @@ ORACLES = {
     "token_stats": sql_token_stats(),
     "doc_fingerprint": sql_doc_fingerprint(),
     "doc_winnowing": sql_doc_winnowing(),
+    "doc_chunks": sql_doc_chunks(),
     "quality_score": sql_quality_score(),
     "lang_distribution": sql_lang_distribution(),
 }
