@@ -30,6 +30,18 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Repartition ONLY when the scan is under-parallel (single-file
+    local testdata coalesces to 1-2 splits, starving the cluster).
+    At corpus scale the scan has natural parallelism and this is a
+    no-op — a blanket repartition() there would be a full extra
+    shuffle of the table for nothing."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # SQL fragments shared across oracle strings.
 # ---------------------------------------------------------------------------

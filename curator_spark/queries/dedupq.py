@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from curator_spark.queries.common import t
+from curator_spark.queries.common import spread, t
 
 MINHASH_K = 16         # OPH signature slots (one per hex digit bucket)
 LSH_BANDS = 4          # bands of r = K/LSH_BANDS = 4 rows: P(candidate)
@@ -113,7 +113,7 @@ FROM documents GROUP BY 1
 
 def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
-    d = d.repartition(spark.sparkContext.defaultParallelism)
+    d = spread(d, spark)
     sh = d.select(
         "doc_id", F.explode(_shingles2(_words(F.col("text")))).alias("sh")
     )
@@ -206,7 +206,7 @@ def _band_col(b: int, r: int):
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
-    d = d.repartition(spark.sparkContext.defaultParallelism)
+    d = spread(d, spark)
     sh = d.select(
         "doc_id", F.explode(_shingles2(_words(F.col("text")))).alias("sh")
     ).select("doc_id", F.md5(F.col("sh").cast("binary")).alias("h"))

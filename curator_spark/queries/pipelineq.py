@@ -24,14 +24,14 @@ from pyspark.sql.functions import pandas_udf
 
 from curator_spark.config import DEFAULT_CONFIG as CFG
 from curator_spark.pipeline.run import quality_plan
-from curator_spark.queries.common import t
+from curator_spark.queries.common import spread, t
 from curator_spark.stages.langid import with_langid
 from curator_spark.stages.perplexity import with_perplexity
 
 
 def q_langid_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
-    d = d.repartition(spark.sparkContext.defaultParallelism)
+    d = spread(d, spark)
     d = with_langid(d, CFG, "text")
     return d.select(
         "doc_id", "lang_pred", F.round("lang_score", 6).alias("lang_score")
@@ -40,7 +40,7 @@ def q_langid_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
-    d = d.repartition(spark.sparkContext.defaultParallelism)
+    d = spread(d, spark)
     d = with_perplexity(d, "text")
     return d.select("doc_id", F.round("perplexity", 6).alias("perplexity"))
 
@@ -48,7 +48,7 @@ def q_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quality_full_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents").withColumnRenamed("lang", "lang_claim")
     # single-file local input -> fan out so the Arrow UDF stages use all cores
-    d = d.repartition(spark.sparkContext.defaultParallelism)
+    d = spread(d, spark)
     scored = quality_plan(d, CFG, text_col="text")
     return scored.select(
         "doc_id",

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from curator_spark.queries.common import t
+from curator_spark.queries.common import spread, t
 
 KNN_QUERIES = 5   # vec_id < 5 are the query vectors
 KNN_K = 5
@@ -194,7 +194,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    scan = e.repartition(spark.sparkContext.defaultParallelism)
+    scan = spread(e, spark)
     return scan.mapInPandas(gen, "vec_a long, vec_b long, sim double")
 
 
