@@ -109,3 +109,26 @@ def test_exact_dedup_partial_aggregation(spark):
     # partial + final aggregate pair around a single exchange
     assert plan.count("HashAggregate") >= 2
     assert "partial_count" in plan or "merge_count" in plan
+
+
+def test_bucket_partition_pruning(spark, pages, cfg, tmp_path):
+    """The snapshot table's bucket_id directory layout must let a
+    bucket-filtered read prune partitions at planning time (the
+    Iceberg-partitioning analog): the scan's PartitionFilters must
+    carry the bucket predicate and the scanned file list must shrink
+    to the one bucket directory."""
+    from curator_spark.pipeline.run import with_bucket
+    from curator_spark.pipeline.snapshot import SnapshotTable
+
+    tab = SnapshotTable(str(tmp_path / "snap"))
+    df = with_bucket(pages.select("url", "text"), 8)
+    tab.append(df, {"run_fingerprint": "t"}, partition_by=["bucket_id"])
+
+    out = tab.read(spark).where(F.col("bucket_id") == 3)
+    plan = _formatted(out)
+    assert "PartitionFilters" in plan and "bucket_id" in plan.split(
+        "PartitionFilters"
+    )[1].split("\n")[0]
+    n_sel = out.count()
+    n_all = tab.read(spark).count()
+    assert 0 < n_sel < n_all
