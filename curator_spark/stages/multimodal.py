@@ -152,3 +152,59 @@ def with_media_features(
             yield out
 
     return df.mapInPandas(run, schema=out_ddl)
+
+
+def with_resize_spec(
+    df: DataFrame, target_w: int, target_h: int,
+    width_col: str = "features.width", height_col: str = "features.height",
+) -> DataFrame:
+    """Aspect-preserving resize geometry as NATIVE expressions.
+
+    The codec-side resample is behind the decoder registry (not in this
+    container); the geometry — fit-within (target_w, target_h) keeping
+    aspect, never upscale — is arithmetic and belongs JVM-side so a
+    100 TB pass can plan/filter on output dims without touching pixels.
+    Emits `resize` struct: out_w, out_h, scale (double, <= 1.0).
+    """
+    w = F.col(width_col).cast("double")
+    h = F.col(height_col).cast("double")
+    scale = F.least(F.lit(target_w) / w, F.lit(target_h) / h, F.lit(1.0))
+    valid = w.isNotNull() & h.isNotNull() & (w > 0) & (h > 0)
+    return df.withColumn(
+        "resize",
+        F.when(
+            valid,
+            F.struct(
+                F.round(w * scale).cast("int").alias("out_w"),
+                F.round(h * scale).cast("int").alias("out_h"),
+                scale.alias("scale"),
+            ),
+        ),
+    )
+
+
+def with_frame_sample(
+    df: DataFrame, k: int, n_frames_col: str = "features.n_frames"
+) -> DataFrame:
+    """Deterministic uniform frame sampling for video payloads —
+    native sequence/transform arithmetic, no Python and no RNG
+    (seeded determinism rule F8): k indices evenly spaced over
+    [0, n_frames-1], deduplicated when the clip is shorter than k.
+    The frame EXTRACTION at those indices is codec work behind the
+    decoder registry; the index plan is what the engine schedules
+    and shuffles on, so it stays JVM-side.
+    """
+    n = F.col(n_frames_col).cast("long")
+    step_den = max(k - 1, 1)  # k=1 -> single frame at index 0
+    idx = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda i: F.when(
+                n > 1, F.round(i * (n - 1) / F.lit(step_den)).cast("long")
+            ).otherwise(F.lit(0)),
+        )
+    )
+    return df.withColumn(
+        "frame_indices",
+        F.when(n.isNotNull() & (n > 0), idx),
+    )

@@ -89,3 +89,46 @@ def test_fake_decode_batch_shape():
     out = fake_decode(s)
     assert list(out.columns) == ["width", "height", "n_frames", "embedding", "error"]
     assert len(out) == 3
+
+
+def test_resize_spec_geometry(spark):
+    from curator_spark.stages.multimodal import with_resize_spec
+
+    df = spark.createDataFrame(
+        [("a", 4000, 3000), ("b", 100, 50), ("c", 0, 10), ("d", None, None)],
+        "id string, w int, h int",
+    ).withColumn("features", F.struct(F.col("w").alias("width"),
+                                      F.col("h").alias("height")))
+    out = (
+        with_resize_spec(df, 1024, 1024)
+        .select("id", "resize.*")
+        .toPandas()
+        .set_index("id")
+    )
+    # a: landscape 4:3 fit in 1024 box -> 1024x768, downscale
+    assert (out.loc["a", "out_w"], out.loc["a", "out_h"]) == (1024, 768)
+    # b: already smaller than the box -> never upscaled
+    assert (out.loc["b", "out_w"], out.loc["b", "out_h"]) == (100, 50)
+    assert out.loc["b", "scale"] == 1.0
+    # c/d: invalid dims -> null spec
+    assert pd.isna(out.loc["c", "scale"]) and pd.isna(out.loc["d", "scale"])
+
+
+def test_frame_sample_indices(spark):
+    from curator_spark.stages.multimodal import with_frame_sample
+
+    df = spark.createDataFrame(
+        [("a", 100), ("b", 2), ("c", 1), ("d", 0), ("e", None)],
+        "id string, nf int",
+    ).withColumn("features", F.struct(F.col("nf").alias("n_frames")))
+    out = (
+        with_frame_sample(df, 4)
+        .select("id", "frame_indices")
+        .toPandas()
+        .set_index("id")["frame_indices"]
+    )
+    assert list(out["a"]) == [0, 33, 66, 99]
+    assert list(out["b"]) == [0, 1]        # dedup below k frames
+    assert list(out["c"]) == [0]
+    assert out["d"] is None or pd.isna(out["d"])
+    assert out["e"] is None or pd.isna(out["e"])
