@@ -255,7 +255,11 @@ def main() -> None:
         # 8-CPU vs 32-CPU slices on the 32-core host — the largest 4x
         # pair the box can host fairly. Override with
         # SPARK_GRAFT_SCALE_N / SPARK_GRAFT_SCALE_4N.
-        n_small = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
+        # 3 -> 12 is the largest 4x pair whose 2*K slices coexist on 32
+        # CPUs (6 + 24 = 30); a 2-core small level is too small to be
+        # fair (fixed JVM overheads — GC/JIT threads — eat a visible
+        # fraction of 4 CPUs and the ratio reads superlinear).
+        n_small = int(os.environ.get("SPARK_GRAFT_SCALE_N", "3"))
         n_big = int(os.environ.get("SPARK_GRAFT_SCALE_4N", str(4 * n_small)))
         pages = prepare_pages(BENCH_DOCS, cores)
         # Efficiency from a SIMULTANEOUS disjoint-slice pair (see
