@@ -123,3 +123,56 @@ def run_keep_rate_available_now(
     )
     q.awaitTermination()
     return q
+
+
+def domain_session_stream(
+    spark: SparkSession,
+    input_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Dynamic session windows per domain over event time — the
+    native stateful-streaming operator (session_window merges
+    overlapping [ts, ts+gap) intervals as rows arrive; watermark
+    bounds state and finalizes sessions for append-mode sinks).
+    Batch `sessionize` (queries/relationalq.py) is the lag-based
+    batch twin; this is what replaces it when pages arrive as a
+    stream. One shuffle on (domain, merging session keys); state is
+    per open session, evicted at the watermark."""
+    pages = spark.readStream.schema(PAGES).parquet(input_dir)
+    domain = F.regexp_extract("url", r"https?://([^/]+)/", 1)
+    return (
+        pages.withWatermark("warc_ts", watermark)
+        .groupBy(
+            F.session_window("warc_ts", gap),
+            domain.alias("domain"),
+        )
+        .agg(F.count("*").alias("n_pages"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "domain",
+            "n_pages",
+        )
+    )
+
+
+def run_domain_sessions_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> StreamingQuery:
+    q = (
+        domain_session_stream(spark, input_dir, gap, watermark)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

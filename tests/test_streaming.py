@@ -11,6 +11,8 @@ from __future__ import annotations
 import os
 import shutil
 
+import pandas as pd
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -141,3 +143,57 @@ def test_keep_rate_windows_match_batch(spark, pages_path, tmp_path, cfg):
     # counts are bounded by — and mostly equal to — the batch truth
     assert (joined["n_docs"] <= joined["expect_n"]).all()
     assert (joined["n_docs"] == joined["expect_n"]).mean() > 0.5
+
+
+def test_domain_session_windows(spark, tmp_path):
+    """session_window must merge hits within the gap into one session
+    per domain and finalize sessions past the watermark; a second
+    availableNow drain with later data must emit ONLY newly-closed
+    sessions (append mode)."""
+    from datetime import datetime
+
+    from curator_spark.streaming.quality_stream import (
+        run_domain_sessions_available_now,
+    )
+
+    in_dir = str(tmp_path / "sess_in"); os.makedirs(in_dir)
+    out_dir = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "sess_ckpt")
+
+    def pages_df(rows):
+        return spark.createDataFrame(
+            [(u, datetime.fromisoformat(ts), None, "x", "en")
+             for u, ts in rows],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+
+    # domain a: two hits 10 min apart (one session of 2), then one hit
+    # 3 h later (watermark passes -> first session closes)
+    import glob
+
+    def drop_file(df, name):
+        stage = str(tmp_path / ("stage_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        src = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.copy(src, os.path.join(in_dir, name + ".parquet"))
+
+    drop_file(pages_df([
+        ("https://a.com/1", "2024-01-01T00:00:00"),
+        ("https://a.com/2", "2024-01-01T00:10:00"),
+        ("https://b.com/1", "2024-01-01T00:00:00"),
+    ]), "f1")
+    run_domain_sessions_available_now(spark, in_dir, out_dir, ckpt)
+
+    drop_file(pages_df([
+        ("https://a.com/3", "2024-01-01T03:00:00"),
+        ("https://a.com/4", "2024-01-01T06:00:00"),
+    ]), "f2")
+    run_domain_sessions_available_now(spark, in_dir, out_dir, ckpt)
+
+    out = spark.read.parquet(out_dir).toPandas()
+    a = out[out["domain"] == "a.com"].sort_values("session_start")
+    # first a.com session: both early hits merged, 40-min span
+    assert list(a["n_pages"])[0] == 2
+    assert a.iloc[0]["session_end"] - a.iloc[0]["session_start"] == pd.Timedelta(minutes=40)
+    # the 03:00 hit is its own closed session after the 06:00 watermark advance
+    assert len(a) >= 2 and list(a["n_pages"])[1] == 1
