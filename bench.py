@@ -106,7 +106,8 @@ def prepare_pages(n_rows: int, cores: int) -> str:
 
 
 def _pipeline_child(
-    cores: int, pages: str, n_rows: int, cpu_lo: int = 0, cpu_hi: int = 0
+    cores: int, pages: str, n_rows: int, cpu_lo: int = 0, cpu_hi: int = 0,
+    deadline: float = 0.0,
 ) -> None:
     """Child-process body for one scaling level (invoked via
     `bench.py --pipeline-child`). Fresh process per level so both
@@ -151,27 +152,33 @@ def _pipeline_child(
 
     # warm-up on a real corpus slice: C2-compiles the codegen'd rule
     # exprs + Arrow paths and builds the models once per worker
-    # (excluded from timing, as in a long-running job); then best-of-2
-    # measured passes — host jitter hits the short 4N run harder than
-    # the long N run, which corrupts the efficiency ratio unless both
-    # levels report their clean pass.
+    # (excluded from timing, as in a long-running job); then best-of
+    # measured passes. With a deadline (simultaneous-pair mode) the
+    # child keeps measuring until that shared wall-clock instant —
+    # without it, the 4x-faster big level finishes early and the small
+    # level's tail passes run on an UNCONTENDED box, which biases the
+    # efficiency ratio down systematically (measured 0.42 from exactly
+    # this effect vs 0.92 with aligned windows).
     _force(plan().limit(200_000))
     dt = float("inf")
-    for _ in range(2):
+    passes = 0
+    while passes < 2 or (deadline and _time.time() < deadline):
         t0 = _time.perf_counter()
         _force(plan())
         dt = min(dt, _time.perf_counter() - t0)
+        passes += 1
     spark.stop()
-    print(f"PIPELINE_DOCS_PER_SEC {n_rows / dt:.3f}")
+    print(f"PIPELINE_DOCS_PER_SEC {n_rows / dt:.3f} passes={passes}")
 
 
 def _spawn_child(cores: int, pages: str, n_rows: int,
-                 cpu_lo: int = 0, cpu_hi: int = 0):
+                 cpu_lo: int = 0, cpu_hi: int = 0, deadline: float = 0.0):
     import subprocess
 
     return subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--pipeline-child",
-         str(cores), pages, str(n_rows), str(cpu_lo), str(cpu_hi)],
+         str(cores), pages, str(n_rows), str(cpu_lo), str(cpu_hi),
+         repr(deadline)],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
@@ -212,8 +219,13 @@ def run_pipeline_pair(
     lo_small, hi_small = 0, 2 * n_small
     lo_big, hi_big = hi_small, hi_small + 2 * n_big
     assert hi_big <= (os.cpu_count() or hi_big), "pair exceeds host CPUs"
-    p_small = _spawn_child(n_small, pages, n_rows, lo_small, hi_small)
-    p_big = _spawn_child(n_big, pages, n_rows, lo_big, hi_big)
+    # shared measurement deadline: both children keep running measured
+    # passes until this instant, so the (4x faster) big level cannot
+    # finish early and hand the small level an uncontended tail.
+    window = float(os.environ.get("SPARK_GRAFT_PAIR_WINDOW", "330"))
+    deadline = time.time() + window
+    p_small = _spawn_child(n_small, pages, n_rows, lo_small, hi_small, deadline)
+    p_big = _spawn_child(n_big, pages, n_rows, lo_big, hi_big, deadline)
     thr_big = _child_result(p_big, n_big)
     thr_small = _child_result(p_small, n_small)
     return thr_small, thr_big
@@ -225,6 +237,7 @@ def main() -> None:
             int(sys.argv[2]), sys.argv[3], int(sys.argv[4]),
             int(sys.argv[5]) if len(sys.argv) > 5 else 0,
             int(sys.argv[6]) if len(sys.argv) > 6 else 0,
+            float(sys.argv[7]) if len(sys.argv) > 7 else 0.0,
         )
         return
 
