@@ -319,9 +319,36 @@ FROM events
 """
 
 
+# ---------------------------------------------------------------------------
+# browsers_never_buying — set operations as first-class table ops
+# (SURVEY §2.6: the reference only has Python set membership; Spark
+# gives INTERSECT/EXCEPT as distributed operators): users who clicked
+# AND viewed (INTERSECT) but never purchased (EXCEPT). Both plan as
+# null-safe hash joins on user_id — same shuffle shape as a groupBy.
+# ---------------------------------------------------------------------------
+
+def q_browsers_never_buying(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+
+    def ids(kind: str) -> DataFrame:
+        return ev.where(F.col("event_type") == kind).select("user_id")
+
+    return ids("click").intersect(ids("view")).subtract(ids("purchase"))
+
+
+SQL_BROWSERS_NEVER_BUYING = """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'view'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "value_moving_avg": q_value_moving_avg,
+    "browsers_never_buying": q_browsers_never_buying,
     "top_customers_revenue": q_top_customers,
     "orders_no_bigline": q_orders_no_bigline,
     "users_by_event_type": q_users_by_event_type,
@@ -334,6 +361,7 @@ QUERIES = {
 ORACLES = {
     "pricing_summary": SQL_PRICING_SUMMARY,
     "value_moving_avg": SQL_VALUE_MOVING_AVG,
+    "browsers_never_buying": SQL_BROWSERS_NEVER_BUYING,
     "top_customers_revenue": SQL_TOP_CUSTOMERS,
     "orders_no_bigline": SQL_ORDERS_NO_BIGLINE,
     "users_by_event_type": SQL_USERS_BY_EVENT_TYPE,
