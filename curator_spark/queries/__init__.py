@@ -18,9 +18,10 @@ from curator_spark.queries import (
     relationalq,
     simq,
     textq,
+    trainprepq,
 )
 
-_MODULES = (textq, dedupq, simq, relationalq, advancedq, pipelineq)
+_MODULES = (textq, dedupq, simq, relationalq, advancedq, pipelineq, trainprepq)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}

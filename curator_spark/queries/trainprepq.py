@@ -1,0 +1,210 @@
+"""Training-set preparation operators over the `documents` table.
+
+Three curation ops every large-scale training-data pipeline runs after
+quality filtering (build brief: "the operations a large-scale
+training-data pipeline would need"); the reference stops at per-row
+scoring (SURVEY §2.8), so these extend it the way its users extend it
+downstream:
+
+- `decontaminate` — benchmark decontamination: flag training docs that
+  share any 5-word n-gram with a held-out eval set (the classic
+  13-gram-overlap rule of GPT-3/PaLM data prep, shortened to 5 because
+  the synthetic docs are 10-99 words). Scale shape: the eval set is
+  tiny relative to the corpus, so its distinct shingle set is
+  BROADCAST and the train-side shingle stream is semi-joined without a
+  shuffle — the explode is bounded per row and never materializes.
+- `sample_stratified` — deterministic language-balanced downsampling:
+  every language keeps exactly min-class-count docs, chosen by md5
+  rank (seedless, reproducible, engine-portable — md5 hex strings
+  order identically in Spark and DuckDB). The per-lang counts are a
+  tiny aggregate cross-joined back (broadcast), NOT a whole-table
+  window over (), which would single-task the corpus.
+- `shard_packing` — pack docs into fixed token-budget training shards.
+  Packing is per (lang, bucket) so parallelism is langs × buckets, not
+  langs — a per-lang-only running sum would put an entire language's
+  corpus through one window task at 100 TB. Within a group the
+  exclusive running token sum divided by the budget assigns shard ids
+  deterministically (greedy sequential packing by doc_id order).
+
+Engine-parity notes: shingle construction, md5 ranking, and window
+frames are written identically on both sides from shared constants;
+counts cast to BIGINT (queries/common.py contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from curator_spark.queries.common import t
+from curator_spark.queries.dedupq import _words
+
+NGRAM = 5          # decontamination shingle width (words)
+EVAL_MOD = 29      # doc_id % EVAL_MOD == 0 -> held-out eval split
+PACK_BUCKETS = 4   # shard-packing parallelism buckets per language
+PACK_BUDGET = 512  # tokens per training shard
+
+
+def _shingles(ws, n: int):
+    """Distinct word n-gram shingles; empty when fewer than n words."""
+    cnt = F.size(ws)
+    sh = F.transform(
+        F.sequence(F.lit(1), cnt - (n - 1)),
+        lambda i: F.array_join(F.slice(ws, i, n), " "),
+    )
+    return F.when(cnt >= n, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+# DuckDB twin of _shingles (1-based list slicing, inclusive ends).
+SQL_SHINGLES = (
+    f"CASE WHEN len(ws) >= {NGRAM} THEN list_distinct(list_transform("
+    f"range(1, len(ws) - {NGRAM} + 2), "
+    f"i -> list_aggregate(ws[i:i+{NGRAM}-1], 'string_agg', ' '))) "
+    "ELSE CAST([] AS VARCHAR[]) END"
+)
+
+SQL_WS_CTE = (
+    "SELECT doc_id, lang, "
+    "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws "
+    "FROM documents"
+)
+
+
+# ---------------------------------------------------------------------------
+# decontaminate — eval-overlap flag per training doc.
+# ---------------------------------------------------------------------------
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.explode(_shingles(_words(F.col("text")), NGRAM)).alias("s"),
+    )
+    eval_sh = sh.filter(F.col("doc_id") % EVAL_MOD == 0).select("s").distinct()
+    train_sh = sh.filter(F.col("doc_id") % EVAL_MOD != 0)
+    hits = (
+        train_sh.join(F.broadcast(eval_sh), "s", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    train = d.filter(F.col("doc_id") % EVAL_MOD != 0).select("doc_id")
+    return train.join(hits, "doc_id", "left").select(
+        "doc_id", F.coalesce("contaminated", F.lit(False)).alias("contaminated")
+    )
+
+
+SQL_DECONTAMINATE = f"""
+WITH ws AS ({SQL_WS_CTE}),
+sh AS (
+  SELECT doc_id, unnest({SQL_SHINGLES}) AS s FROM ws
+),
+ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % {EVAL_MOD} = 0),
+hits AS (
+  SELECT DISTINCT sh.doc_id FROM sh JOIN ev USING (s)
+  WHERE sh.doc_id % {EVAL_MOD} <> 0
+)
+SELECT d.doc_id, (hits.doc_id IS NOT NULL) AS contaminated
+FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+WHERE d.doc_id % {EVAL_MOD} <> 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# sample_stratified — md5-ranked language-balanced downsample.
+# ---------------------------------------------------------------------------
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    target = (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("cnt"))
+        .agg(F.min("cnt").alias("target"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .join(F.broadcast(target))
+        .filter(F.col("rk") <= F.col("target"))
+        .select("doc_id", "lang")
+    )
+
+
+SQL_SAMPLE_STRATIFIED = """
+WITH ranked AS (
+  SELECT doc_id, lang,
+    row_number() OVER (PARTITION BY lang
+                       ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+  FROM documents
+),
+target AS (
+  SELECT min(cnt) AS target
+  FROM (SELECT count(*) AS cnt FROM documents GROUP BY lang)
+)
+SELECT doc_id, lang FROM ranked, target WHERE rk <= target
+"""
+
+
+# ---------------------------------------------------------------------------
+# shard_packing — fixed-token-budget shard assignment per (lang, bucket).
+# ---------------------------------------------------------------------------
+
+def q_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    d = d.select(
+        "doc_id",
+        "lang",
+        (F.col("doc_id") % PACK_BUCKETS).alias("bucket"),
+        F.size(_words(F.col("text"))).alias("tok"),
+    )
+    w = (
+        Window.partitionBy("lang", "bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_excl = F.coalesce(F.sum("tok").over(w), F.lit(0))
+    return (
+        d.withColumn("shard_id", F.floor(cum_excl / PACK_BUDGET))
+        .groupBy("lang", "bucket", "shard_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("tok").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+SQL_SHARD_PACKING = f"""
+WITH base AS (
+  SELECT doc_id, lang, doc_id % {PACK_BUCKETS} AS bucket,
+    len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok
+  FROM documents
+),
+packed AS (
+  SELECT lang, bucket,
+    floor(coalesce(sum(tok) OVER (PARTITION BY lang, bucket ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          / {PACK_BUDGET}) AS shard_id,
+    tok
+  FROM base
+)
+SELECT lang, bucket, shard_id::BIGINT AS shard_id,
+  count(*)::BIGINT AS n_docs, sum(tok)::BIGINT AS n_tokens
+FROM packed GROUP BY lang, bucket, shard_id
+"""
+
+
+QUERIES = {
+    "decontaminate": q_decontaminate,
+    "sample_stratified": q_sample_stratified,
+    "shard_packing": q_shard_packing,
+}
+
+ORACLES = {
+    "decontaminate": SQL_DECONTAMINATE,
+    "sample_stratified": SQL_SAMPLE_STRATIFIED,
+    "shard_packing": SQL_SHARD_PACKING,
+}
