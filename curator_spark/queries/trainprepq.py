@@ -150,6 +150,50 @@ SELECT doc_id, lang FROM ranked, target WHERE rk <= target
 
 
 # ---------------------------------------------------------------------------
+# downsample_lang — shuffle-free per-language hash-rate downsampling.
+#
+# The production scale path for language rebalancing (the CCNet-style
+# "downsample English" op, and the shuffle-free alternative the
+# sample_stratified plan-census row points at): keep a doc iff the
+# first 8 hex chars of md5(doc_id) fall below the language's rate
+# cutoff. Pure narrow filter — no shuffle, no window, no count pass;
+# the sample is a deterministic property of the row alone, so it is
+# stable under retries, resume, and repartitioning at any scale.
+# Rate precision is 1/2^32; cutoffs are shared Python constants so
+# Spark and DuckDB compare identical hex strings lexicographically.
+# ---------------------------------------------------------------------------
+
+DOWNSAMPLE_RATES = {"en": 0.25, "zh": 0.5}  # unlisted languages keep 1.0
+
+
+def _rate_cutoff_hex(rate: float) -> str:
+    return format(int(rate * 16**8), "08x")
+
+
+def q_downsample_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    keep = F.lit(True)
+    for lang, rate in DOWNSAMPLE_RATES.items():
+        keep = F.when(
+            F.col("lang") == lang, h < F.lit(_rate_cutoff_hex(rate))
+        ).otherwise(keep)
+    return d.filter(keep)
+
+
+def sql_downsample_lang() -> str:
+    arms = " ".join(
+        f"WHEN lang = '{lang}' THEN substr(md5(doc_id::VARCHAR), 1, 8)"
+        f" < '{_rate_cutoff_hex(rate)}'"
+        for lang, rate in DOWNSAMPLE_RATES.items()
+    )
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE CASE {arms} ELSE TRUE END
+"""
+
+
+# ---------------------------------------------------------------------------
 # shard_packing — fixed-token-budget shard assignment per (lang, bucket).
 # ---------------------------------------------------------------------------
 
@@ -200,11 +244,13 @@ FROM packed GROUP BY lang, bucket, shard_id
 QUERIES = {
     "decontaminate": q_decontaminate,
     "sample_stratified": q_sample_stratified,
+    "downsample_lang": q_downsample_lang,
     "shard_packing": q_shard_packing,
 }
 
 ORACLES = {
     "decontaminate": SQL_DECONTAMINATE,
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
+    "downsample_lang": sql_downsample_lang(),
     "shard_packing": SQL_SHARD_PACKING,
 }

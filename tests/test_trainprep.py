@@ -65,6 +65,38 @@ def test_sample_stratified_balanced_and_deterministic(spark):
     assert set(per_lang.index) == set(docs.lang.unique())
 
 
+def test_downsample_lang_rates_and_row_purity(spark):
+    out = tp.q_downsample_lang(spark, SF_DIR).toPandas()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").toPandas()
+    n = docs.groupby("lang").size()
+    kept = out.groupby("lang").size().reindex(n.index, fill_value=0)
+    for lang, cnt in n.items():
+        rate = tp.DOWNSAMPLE_RATES.get(lang, 1.0)
+        if rate == 1.0:
+            assert kept[lang] == cnt  # unlisted languages untouched
+        else:
+            # binomial 4-sigma envelope around the nominal rate
+            import math
+
+            sigma = math.sqrt(cnt * rate * (1 - rate))
+            assert abs(kept[lang] - cnt * rate) <= 4 * sigma + 1
+    # row purity: membership is a function of the row alone, so the
+    # kept set must be the per-row rule applied independently
+    import hashlib
+
+    def row_keep(doc_id, lang):
+        rate = tp.DOWNSAMPLE_RATES.get(lang, 1.0)
+        if rate == 1.0:
+            return True
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()[:8]
+        return h < tp._rate_cutoff_hex(rate)
+
+    expect = {
+        int(r.doc_id) for r in docs.itertuples() if row_keep(r.doc_id, r.lang)
+    }
+    assert set(out.doc_id) == expect
+
+
 def test_shard_packing_invariants(spark):
     out = tp.q_shard_packing(spark, SF_DIR).toPandas()
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").toPandas()
