@@ -47,6 +47,10 @@ HEADLINE = [
     "latest_event_per_user",
     "sessionize",
     "events_hourly_rollup",
+    "decontaminate",
+    "downsample_lang",
+    "sample_stratified",
+    "shard_packing",
 ]
 
 # Scaling corpus: large enough that compute dominates per-job fixed
@@ -222,7 +226,7 @@ def run_pipeline_pair(
     # shared measurement deadline: both children keep running measured
     # passes until this instant, so the (4x faster) big level cannot
     # finish early and hand the small level an uncontended tail.
-    window = float(os.environ.get("SPARK_GRAFT_PAIR_WINDOW", "330"))
+    window = float(os.environ.get("SPARK_GRAFT_PAIR_WINDOW", "270"))
     deadline = time.time() + window
     p_small = _spawn_child(n_small, pages, n_rows, lo_small, hi_small, deadline)
     p_big = _spawn_child(n_big, pages, n_rows, lo_big, hi_big, deadline)
@@ -278,8 +282,23 @@ def main() -> None:
         # Efficiency from a SIMULTANEOUS disjoint-slice pair (see
         # run_pipeline_pair); absolute peak docs/sec from a standalone
         # run on the largest fair slice (local[16] = all 32 CPUs).
-        thr_n, thr_4n = run_pipeline_pair(n_small, n_big, pages, BENCH_DOCS)
-        eff = thr_4n / (thr_n * (n_big / n_small))
+        # The pair is REPEATED: a host slow patch overlapping one
+        # window perturbs the two levels unevenly (the small level's
+        # min pass needs a ~80s clean stretch, the big level's ~20s),
+        # so a single sample swings 0.6-1.0. Among reps we keep the
+        # one with the highest TOTAL normalized throughput
+        # (scale*thr_n + thr_4n) — the least-interfered window —
+        # rather than max efficiency, which would cherry-pick samples
+        # where the small level happened to be the slow one. All reps
+        # are reported raw.
+        scale = n_big / n_small
+        reps = int(os.environ.get("SPARK_GRAFT_PAIR_REPS", "2"))
+        pair_samples = [
+            run_pipeline_pair(n_small, n_big, pages, BENCH_DOCS)
+            for _ in range(reps)
+        ]
+        thr_n, thr_4n = max(pair_samples, key=lambda p: scale * p[0] + p[1])
+        eff = thr_4n / (thr_n * scale)
         peak_cores = int(os.environ.get("SPARK_GRAFT_PEAK_CORES", "16"))
         # two separated child runs: host slow patches last minutes and
         # run 3-4x deep, so a single sample can lowball peak badly
@@ -294,6 +313,9 @@ def main() -> None:
             "cores_n": n_small,
             "cores_4n": n_big,
             "scaling_efficiency": round(eff, 3),
+            "pair_samples": [
+                [round(a, 1), round(b, 1)] for a, b in pair_samples
+            ],
             "docs_per_sec_peak": round(thr_peak, 1),
             "peak_cores": peak_cores,
         }
