@@ -12,16 +12,21 @@ single shuffle on bucket_id → partitioned write → atomic manifest
 commit carrying per-bucket lineage counters (the reference's
 OnlineStatusTracker counters, online_status_tracker.py:46-95).
 
-Scale notes (100 TB): the only shuffle in the whole job is the final
-repartition("bucket_id") for the partitioned write; all UDF scoring
-runs pre-shuffle at full scan parallelism. n_buckets bounds write
-parallelism — use ≥4× executor count in production (32 here for
-local[32]). Metrics are computed by re-reading the freshly written
-(column-pruned) output, never by re-running UDFs.
+Scale notes (100 TB): the whole job is ONE scan of the input and ONE
+shuffle (the final repartition("bucket_id") for the partitioned
+write); all UDF scoring runs pre-shuffle at full scan parallelism.
+Failed-extraction rows ride the same write under a sentinel
+bucket_id=-1 partition and are relocated to the quarantine dir before
+commit — no second scan of the input for the failed branch (html
+re-extraction over 100 TB twice was the alternative). n_buckets
+bounds write parallelism — use ≥4× executor count in production (32
+here for local[32]). Metrics are computed by re-reading the freshly
+written (column-pruned) output, never by re-running UDFs.
 """
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
 
@@ -168,24 +173,38 @@ class QualityPipeline:
         else:
             pages = pages.withColumn("doc_text", F.col("text"))
 
-        valid = pages.filter(F.col("doc_text").isNotNull() & (F.col("doc_text") != ""))
-        invalid = pages.filter(F.col("doc_text").isNull() | (F.col("doc_text") == ""))
+        # failed-extraction rows ride the SAME write under sentinel
+        # bucket -1 (single scan of the input; the scorers are pure and
+        # cheap on empty text, and their outputs are overridden below)
+        failed_pred = F.col("doc_text").isNull() | (F.col("doc_text") == "")
+        pages = pages.withColumn(
+            "bucket_id",
+            F.when(failed_pred, F.lit(-1)).otherwise(F.col("bucket_id")),
+        )
 
-        scored = quality_plan(valid, cfg, text_col="doc_text")
-        out = scored.select(*OUT_COLS).repartition("bucket_id")
+        scored = quality_plan(pages, cfg, text_col="doc_text")
+        is_failed = F.col("bucket_id") == -1
+        out = (
+            scored.select(*OUT_COLS)
+            .withColumn("keep", F.when(is_failed, F.lit(False)).otherwise(F.col("keep")))
+            .withColumn(
+                "drop_reason",
+                F.when(is_failed, F.lit("extract_failed")).otherwise(F.col("drop_reason")),
+            )
+            .repartition("bucket_id")
+        )
 
         # stage data invisibly, then publish via one atomic manifest commit
         stage_dir = self.table.stage_dir()
         out.write.mode("overwrite").partitionBy("bucket_id").parquet(stage_dir)
 
-        failed = invalid.select(
-            "url",
-            F.lit("extract").alias("stage"),
-            F.lit("empty or undecodable html body").alias("error"),
-        )
-        n_failed = failed.count()
-        if n_failed:
-            failed.write.mode("overwrite").parquet(stage_dir + "_failed")
+        # relocate the quarantine partition out of the to-be-committed dir;
+        # counting it reads parquet footers of a (tiny) quarantine set only
+        n_failed = 0
+        quarantine = os.path.join(stage_dir, "bucket_id=-1")
+        if os.path.isdir(quarantine):
+            os.rename(quarantine, stage_dir + "_failed")
+            n_failed = spark.read.parquet(stage_dir + "_failed").count()
 
         # lineage counters from the committed bytes (column-pruned re-read;
         # never re-runs the UDFs)

@@ -1,11 +1,12 @@
-"""UDF-scored pipeline queries (rows-only correctness check).
+"""UDF-scored pipeline queries.
 
-These run the Arrow-vectorized model stages (langid, perplexity,
-simhash) that have no faithful ANSI-SQL restatement — the driver
-records a weaker rows-only check for them; full value-level
-verification lives in tests/ against the shared-core Python oracle
-(FIXTURES.md pattern; reference golden-hash tests
-tests/integrations/test_all.py:24-25,58-61).
+langid / perplexity / quality_full run Arrow-vectorized model stages
+that have no faithful ANSI-SQL restatement — the driver records a
+weaker rows-only check for them; full value-level verification lives
+in tests/ against the shared-core Python oracle (FIXTURES.md pattern;
+reference golden-hash tests tests/integrations/test_all.py:24-25,58-61).
+`dedup_simhash` IS fully SQL-expressible (md5 is shared by both
+engines) and carries a bit-exact DuckDB oracle below.
 
 `quality_full_docs` is the flagship: the complete
 langid + perplexity + heuristic-rules + scrub + decision pipeline
@@ -67,11 +68,16 @@ def q_quality_full_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _simhash_batch(texts: pd.Series) -> pd.Series:
     import hashlib
+    import re
 
+    # tokenizer pinned to the repo-wide word definition (ASCII \s+ split,
+    # non-empty — functions/textstats.words and SQL_WORDS), so Python,
+    # Spark and the DuckDB oracle agree by construction
+    ws = re.compile(r"[ \t\n\r\f\v]+")
     out = np.zeros(len(texts), dtype=np.int64)
     for i, txt in enumerate(texts.fillna("")):
         acc = np.zeros(64, dtype=np.int64)
-        for w in set(txt.split()):
+        for w in set(ws.split(txt)) - {""}:
             h = np.uint64(
                 int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:8], "big")
             )
@@ -102,5 +108,39 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
 }
 
-# no ORACLES — rows-only checks by design
-ORACLES: dict[str, str] = {}
+# langid/perplexity/quality_full: rows-only by design (model UDFs).
+# dedup_simhash: bit-exact SQL restatement — per distinct word, the
+# first 8 md5 bytes big-endian are the 64-bit feature hash (identical
+# hex in both engines); per bit, the +1/-1 vote sum's sign sets the
+# bit; bit 63 is folded in as two's-complement so the BIGINT sum never
+# overflows.
+ORACLES: dict[str, str] = {
+    "dedup_simhash": r"""
+WITH words AS (
+  SELECT DISTINCT doc_id, w
+  FROM (SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents)
+),
+bits AS (
+  SELECT h.doc_id, b.b,
+         CASE WHEN SUM(CASE WHEN (h.h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+              THEN 1 ELSE 0 END AS bit
+  FROM (SELECT doc_id, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS h
+        FROM words) h
+  CROSS JOIN (SELECT unnest(range(64)) AS b) b
+  GROUP BY h.doc_id, b.b
+),
+per_doc AS (
+  SELECT doc_id,
+         (SUM(CASE WHEN b < 63 THEN bit * (1::BIGINT << b) ELSE 0 END)
+          + CASE WHEN MAX(CASE WHEN b = 63 THEN bit ELSE 0 END) = 1
+                 THEN -9223372036854775808 ELSE 0 END)::BIGINT AS simhash
+  FROM bits GROUP BY doc_id
+)
+-- zero-word docs have no feature votes: simhash 0 (matches the UDF)
+SELECT d.doc_id, COALESCE(p.simhash, 0) AS simhash
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+""",
+}
