@@ -97,7 +97,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         for texts in it:
             yield _simhash_batch(texts)
 
-    d = t(spark, sf_dir, "documents")
+    d = spread(t(spark, sf_dir, "documents"), spark)
     return d.select("doc_id", simhash_udf("text").alias("simhash"))
 
 

@@ -57,7 +57,7 @@ def _cosine(a, b) -> Column:
 # ---------------------------------------------------------------------------
 
 def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "embeddings").select(
+    e = spread(t(spark, sf_dir, "embeddings"), spark).select(
         "vec_id", _to_double(F.col("embedding")).alias("emb")
     )
     q = e.where(F.col("vec_id") < KNN_QUERIES).select(
@@ -109,7 +109,7 @@ FROM ranked WHERE rank <= {KNN_K}
 # ---------------------------------------------------------------------------
 
 def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "embeddings").select(
+    e = spread(t(spark, sf_dir, "embeddings"), spark).select(
         "vec_id", _to_double(F.col("embedding")).alias("emb")
     )
     planes = e.where(F.col("vec_id") < LSH_PLANES).select(
@@ -233,7 +233,7 @@ def _centroids(e: DataFrame) -> DataFrame:
 
 
 def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = t(spark, sf_dir, "embeddings").select(
+    e = spread(t(spark, sf_dir, "embeddings"), spark).select(
         "vec_id", "label", _to_double(F.col("embedding")).alias("emb")
     )
     centroids = _centroids(e)
@@ -292,7 +292,7 @@ IVF_NPROBE = 2
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    e = t(spark, sf_dir, "embeddings").select(
+    e = spread(t(spark, sf_dir, "embeddings"), spark).select(
         "vec_id", "label", _to_double(F.col("embedding")).alias("emb")
     )
     centroids = _centroids(e)

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from curator_spark.config import DEFAULT_CONFIG as CFG
 from curator_spark.functions import textstats as ts
 from curator_spark.functions.scrub_core import SCRUB_RULES
-from curator_spark.queries.common import sql_stopword_list, sql_words, t
+from curator_spark.queries.common import spread, sql_stopword_list, sql_words, t
 from curator_spark.stages.scrub import with_scrub
 
 # BPE-ish token pattern: letter runs | digit runs | single other symbol.
@@ -311,7 +311,7 @@ WINNOW_W = 4   # window length over the k-gram hash sequence
 
 
 def q_doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
+    d = spread(t(spark, sf_dir, "documents"), spark)
     ws = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != F.lit(""))
     n = F.size(ws)
     kg = F.when(
@@ -402,7 +402,7 @@ MARKERS = _marker_lexicons()
 def q_langid_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    d = t(spark, sf_dir, "documents")
+    d = spread(t(spark, sf_dir, "documents"), spark)
     ws = F.filter(
         F.split(F.lower(F.col("text")), r"\s+"), lambda w: w != F.lit("")
     )

@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from curator_spark.queries.common import t
+from curator_spark.queries.common import spread, t
 from curator_spark.queries.dedupq import _words
 
 NGRAM = 5          # decontamination shingle width (words)
@@ -78,6 +78,10 @@ SQL_WS_CTE = (
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
+    # shingle construction is the compute-heavy part (interpreted HOFs);
+    # single-file local input coalesces to 1 split, so fan out first
+    # (no-op at corpus scale — see spread())
+    d = spread(d, spark)
     sh = d.select(
         "doc_id",
         F.explode(_shingles(_words(F.col("text")), NGRAM)).alias("s"),
