@@ -50,6 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "SparkFiles instead of training in-worker")
     p.add_argument("--print-submit", action="store_true",
                    help="print the spark-submit command line and exit")
+    p.add_argument("--compact", action="store_true",
+                   help="after the run (or cache no-op), rewrite this "
+                        "fingerprint's incremental commits into one "
+                        "bucket-partitioned commit (small-files compaction)")
     return p
 
 
@@ -123,6 +127,7 @@ def main(argv: list[str] | None = None) -> int:
     except RuntimeError as e:
         print(json.dumps({"error": str(e)}))
         return 3
+    compacted = pipe.compact(spark, res.fingerprint) if args.compact else None
     print(json.dumps({
         "fingerprint": res.fingerprint,
         "cached": res.cached,
@@ -131,6 +136,7 @@ def main(argv: list[str] | None = None) -> int:
         "docs_kept": res.docs_kept,
         "failed_rows": res.failed_rows,
         "snapshot_id": res.snapshot_id,
+        "compacted_snapshot_id": compacted,
     }))
     return 0
 

@@ -112,18 +112,40 @@ class QualityPipeline:
     # -- resume bookkeeping (from manifest meta, no data read) -------------
     def committed_buckets(self, fp: str) -> set[int]:
         done: set[int] = set()
-        for c in self.table.commits():
+        for c in self.table.active_commits():
             m = c["meta"]
             if m.get("run_fingerprint") == fp:
                 done.update(int(b) for b in m.get("buckets", {}))
         return done
+
+    def compact(self, spark: SparkSession, fp: str) -> int | None:
+        """Rewrite this fingerprint's incremental commits into one
+        (bucket-partitioned) commit; lineage counters merge losslessly
+        because each bucket is committed by exactly one run."""
+
+        def merge(metas: list[dict]) -> dict:
+            out = dict(metas[0])
+            out["buckets"] = {}
+            out["failed_rows"] = 0
+            for m in metas:
+                out["buckets"].update(m.get("buckets", {}))
+                out["failed_rows"] += m.get("failed_rows", 0)
+            out["compacted"] = True
+            return out
+
+        return self.table.compact(
+            spark,
+            predicate=lambda m: m.get("run_fingerprint") == fp,
+            meta_merge=merge,
+            partition_by=["bucket_id"],
+        )
 
     def read_output(self, spark: SparkSession, fp: str) -> DataFrame | None:
         return self.table.read(spark, lambda m: m.get("run_fingerprint") == fp)
 
     def metrics(self, spark: SparkSession, fp: str | None = None) -> DataFrame:
         rows = []
-        for c in self.table.commits():
+        for c in self.table.active_commits():
             m = c["meta"]
             if fp is not None and m.get("run_fingerprint") != fp:
                 continue

@@ -47,23 +47,47 @@ class SnapshotTable:
         return int(files[-1][1:-5]) if files else 0
 
     def commits(self) -> list[dict[str, Any]]:
-        """All committed entries, oldest first."""
+        """All committed entries, oldest first (full history, incl.
+        commits later superseded by a compaction)."""
         out: list[dict[str, Any]] = []
         for f in self._manifest_files():
             with open(os.path.join(self.manifest_dir, f)) as fh:
                 out.append(json.load(fh))
         return out
 
+    def active_commits(self) -> list[dict[str, Any]]:
+        """Commits that currently contribute data: full history minus
+        any snapshot listed in a later commit's `replaces` (the
+        Iceberg rewrite_data_files/overwrite lineage model — replaced
+        data files stay on disk for time travel but are invisible to
+        readers)."""
+        all_ = self.commits()
+        replaced: set[int] = set()
+        for c in all_:
+            replaced.update(int(s) for s in c.get("replaces", []))
+        return [c for c in all_ if c["snapshot_id"] not in replaced]
+
     # -- write path ----------------------------------------------------------
     def stage_dir(self) -> str:
         """Directory for not-yet-committed data files (invisible to readers)."""
         return os.path.join(self.data_dir, uuid.uuid4().hex)
 
-    def commit(self, data_path: str, meta: dict[str, Any]) -> int:
-        """Atomically publish `data_path` with metadata. Returns snapshot id."""
+    def commit(
+        self,
+        data_path: str,
+        meta: dict[str, Any],
+        replaces: list[int] | None = None,
+    ) -> int:
+        """Atomically publish `data_path` with metadata. Returns snapshot id.
+
+        `replaces` lists snapshot ids this commit supersedes (compaction /
+        rewrite); replaced commits drop out of `active_commits()`.
+        """
         sid = self.current_snapshot_id() + 1
         rel = os.path.relpath(data_path, self.root)
         payload = {"snapshot_id": sid, "data": rel, "meta": meta}
+        if replaces:
+            payload["replaces"] = sorted(int(s) for s in replaces)
         tmp = os.path.join(self.manifest_dir, f".tmp-{uuid.uuid4().hex}")
         with open(tmp, "w") as fh:
             json.dump(payload, fh)
@@ -80,11 +104,57 @@ class SnapshotTable:
         self.commit(path, meta)
         return path
 
+    # -- maintenance ---------------------------------------------------------
+    def compact(
+        self,
+        spark: SparkSession,
+        predicate=None,
+        meta_merge=None,
+        partition_by: list[str] | None = None,
+    ) -> int | None:
+        """Rewrite the data of all matching active commits into ONE
+        commit (small-files compaction, the Iceberg
+        `rewrite_data_files` analog). Incremental/resumed runs leave
+        one directory of files per commit; at 10^12 rows that file
+        count — not the byte volume — becomes the scan-planning and
+        open()-per-file bottleneck, so periodic compaction is a
+        first-class table operation.
+
+        `meta_merge(metas) -> meta` combines the replaced commits'
+        metadata (default: first commit's meta). Returns the new
+        snapshot id, or None if fewer than two commits match.
+        """
+        victims = [
+            c for c in self.active_commits()
+            if predicate is None or predicate(c["meta"])
+        ]
+        if len(victims) < 2:
+            return None
+        df = spark.read.parquet(os.path.join(self.root, victims[0]["data"]))
+        for c in victims[1:]:
+            df = df.unionByName(
+                spark.read.parquet(os.path.join(self.root, c["data"]))
+            )
+        path = self.stage_dir()
+        w = df
+        if partition_by:
+            # one shuffle → one file per partition value in the rewrite
+            w = df.repartition(*partition_by)
+        writer = w.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        metas = [c["meta"] for c in victims]
+        meta = meta_merge(metas) if meta_merge else dict(metas[0])
+        return self.commit(
+            path, meta, replaces=[c["snapshot_id"] for c in victims]
+        )
+
     # -- read path -----------------------------------------------------------
     def data_paths(self, predicate=None) -> list[str]:
         return [
             os.path.join(self.root, c["data"])
-            for c in self.commits()
+            for c in self.active_commits()
             if predicate is None or predicate(c["meta"])
         ]
 

@@ -56,11 +56,14 @@ def test_cli_run_and_resume(spark, pages_path, tmp_path, capsys):
     assert not second["cached"]
     assert not (set(second["buckets_processed"]) & set(first["buckets_processed"]))
 
-    # identical rerun is a fingerprint cache hit
-    rc = cli.main(["--input", pages_path, "--out", out, "--cores", "8"])
+    # identical rerun is a fingerprint cache hit; --compact folds the
+    # two incremental commits into one
+    rc = cli.main(["--input", pages_path, "--out", out, "--cores", "8",
+                   "--compact"])
     assert rc == 0
     third = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert third["cached"]
+    assert third["compacted_snapshot_id"] is not None
 
 
 @pytest.mark.skipif(

@@ -82,3 +82,63 @@ def test_failed_row_quarantine(spark, cfg, tmp_path):
     res = pipe2.run(spark, path)
     assert res.failed_rows == 1
     assert res.docs_seen == 49
+
+    # quarantined rows are excluded from the committed output but land
+    # in the _failed dir with the sentinel drop_reason (they ride the
+    # same single-scan write under bucket_id=-1, relocated pre-commit)
+    out = pipe2.read_output(spark, res.fingerprint)
+    assert out.count() == 49
+    assert out.filter(F.col("url").endswith("/p/3")).count() == 0
+    import glob
+
+    fdir = glob.glob(str(tmp_path / "out2" / "data" / "*_failed"))
+    assert len(fdir) == 1
+    q = spark.read.parquet(fdir[0])
+    rows = q.collect()
+    assert len(rows) == 1
+    assert rows[0]["url"].endswith("/p/3")
+    assert rows[0]["drop_reason"] == "extract_failed"
+    assert rows[0]["keep"] is False
+
+
+def test_compaction_preserves_data_and_resume(spark, pages_path, cfg, tmp_path):
+    """Small-files compaction: k incremental commits rewrite into ONE
+    bucket-partitioned commit; rows, metrics totals, and cache/resume
+    state are unchanged, and the reader sees fewer data roots."""
+    import glob
+
+    pipe = QualityPipeline(str(tmp_path / "out"), cfg)
+    r1 = pipe.run(spark, pages_path, max_buckets=3)
+    pipe.run(spark, pages_path, max_buckets=3)
+    pipe.run(spark, pages_path)
+    fp = r1.fingerprint
+    assert len(pipe.table.active_commits()) == 3
+
+    before = pipe.read_output(spark, fp).orderBy("url").collect()
+    m_before = pipe.metrics(spark, fp).toPandas()
+
+    sid = pipe.compact(spark, fp)
+    assert sid is not None
+    # one active commit; replaced ones stay in full history
+    assert len(pipe.table.active_commits()) == 1
+    assert len(pipe.table.commits()) == 4
+    assert len(pipe.table.data_paths()) == 1
+    # one file per bucket in the rewritten dir
+    files = glob.glob(str(tmp_path / "out" / "data" / "*" / "bucket_id=*" / "*.parquet"))
+    per_bucket = {}
+    for f in files:
+        d = pipe.table.data_paths()[0]
+        if f.startswith(d):
+            per_bucket.setdefault(f.split("bucket_id=")[1].split("/")[0], []).append(f)
+    assert per_bucket and all(len(v) == 1 for v in per_bucket.values())
+
+    after = pipe.read_output(spark, fp).orderBy("url").collect()
+    assert after == before
+    m_after = pipe.metrics(spark, fp).toPandas()
+    assert m_after["docs_seen"].sum() == m_before["docs_seen"].sum()
+    assert sorted(m_after["bucket_id"]) == sorted(m_before["bucket_id"])
+
+    # resume still sees every bucket committed: rerun is a cache no-op
+    assert pipe.run(spark, pages_path).cached
+    # compacting a single commit is a no-op
+    assert pipe.compact(spark, fp) is None
