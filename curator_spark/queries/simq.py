@@ -57,28 +57,63 @@ def _cosine(a, b) -> Column:
 # ---------------------------------------------------------------------------
 
 def q_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = spread(t(spark, sf_dir, "embeddings"), spark).select(
-        "vec_id", _to_double(F.col("embedding")).alias("emb")
+    """Exact cosine top-k, sharded-search style (the FAISS/Chroma
+    brute-force pattern): broadcast the (tiny) normalized query
+    matrix, compute each Arrow batch's similarities with ONE float64
+    matmul, keep the per-batch top-k inside the generator, and merge
+    the surviving n_batches*k rows per query with one tiny window.
+    No join of the corpus, no shuffle of the scored set — the only
+    shuffled rows are the per-shard winners, exactly how a
+    1000-executor cluster would merge per-shard result lists. An
+    explode+HOF-cosine+global-window formulation measured ~25x slower
+    (interpreted higher-order exprs) and single-tasks each query's
+    full candidate set at scale."""
+    import numpy as np
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qside = e.where(F.col("vec_id") < KNN_QUERIES).collect()
+    q_ids = np.array([r["vec_id"] for r in qside], dtype=np.int64)
+    Q = np.array([r["embedding"] for r in qside], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((q_ids, Qn))
+    k = KNN_K
+
+    def gen(batches):
+        import pandas as pd
+
+        b_qids, b_q = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            S = Vn @ b_q.T  # (batch, n_queries)
+            v_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            out = {"query_id": [], "neighbor_id": [], "sim": []}
+            for j, qid in enumerate(b_qids):
+                mask = v_ids != qid
+                cand_ids, cand_sim = v_ids[mask], S[mask, j]
+                # top-k by (sim desc, neighbor_id asc) — lexsort is
+                # stable and keys are last-key-primary
+                order = np.lexsort((cand_ids, -cand_sim))[:k]
+                out["query_id"].extend([qid] * len(order))
+                out["neighbor_id"].extend(cand_ids[order])
+                out["sim"].extend(cand_sim[order])
+            yield pd.DataFrame(out)
+
+    scan = spread(e, spark)
+    survivors = scan.mapInPandas(
+        gen, "query_id long, neighbor_id long, sim double"
     )
-    q = e.where(F.col("vec_id") < KNN_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
-    )
-    scored = (
-        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            _cosine(F.col("qemb"), F.col("emb")).alias("sim"),
-        )
-    )
+
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= KNN_K)
+        survivors.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("sim", 6).alias("sim"))
     )
 
