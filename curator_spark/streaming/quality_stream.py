@@ -78,6 +78,70 @@ def run_available_now(
     return q
 
 
+def make_snapshot_batch_committer(table, lineage_id: str):
+    """foreachBatch body committing each micro-batch to a SnapshotTable
+    exactly once.
+
+    Structured Streaming's foreachBatch is at-least-once: a crash
+    between the batch function and the checkpoint advance replays the
+    same (batch_id, data). Exactly-once therefore = idempotent commit
+    keyed by (lineage_id, batch_id) — a replayed batch sees its key
+    already committed and becomes a no-op (the same construction as
+    the Delta/Iceberg `txnAppId`/`txnVersion` idempotent-write
+    pattern). `lineage_id` must identify the checkpoint: batch ids
+    restart at 0 under a fresh checkpoint, so keys from different
+    lineages must not collide.
+    """
+
+    def commit_batch(df: DataFrame, batch_id: int) -> None:
+        key = {"stream_lineage": lineage_id, "stream_batch_id": batch_id}
+        for c in table.active_commits():
+            m = c["meta"]
+            if (
+                m.get("stream_lineage") == lineage_id
+                and m.get("stream_batch_id") == batch_id
+            ):
+                return  # replay after crash-before-checkpoint: drop it
+        path = table.stage_dir()
+        (
+            df.drop("warc_ts")
+            .write.mode("overwrite")
+            .partitionBy("bucket_id")
+            .parquet(path)
+        )
+        table.commit(path, key)
+
+    return commit_batch
+
+
+def run_into_snapshot(
+    spark: SparkSession,
+    input_dir: str,
+    table_root: str,
+    checkpoint_dir: str,
+    cfg: QualityConfig | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """Drain available input into a SnapshotTable with exactly-once
+    batch commits (source checkpoint handles which files are consumed;
+    the idempotent manifest commit handles replayed batches). Returns
+    the SnapshotTable."""
+    from curator_spark.pipeline.snapshot import SnapshotTable
+
+    table = SnapshotTable(table_root)
+    scored = score_stream(spark, input_dir, cfg, max_files_per_trigger)
+    q = (
+        scored.writeStream.foreachBatch(
+            make_snapshot_batch_committer(table, checkpoint_dir)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return table
+
+
 def keep_rate_stream(
     spark: SparkSession,
     input_dir: str,

@@ -197,3 +197,48 @@ def test_domain_session_windows(spark, tmp_path):
     assert a.iloc[0]["session_end"] - a.iloc[0]["session_start"] == pd.Timedelta(minutes=40)
     # the 03:00 hit is its own closed session after the 06:00 watermark advance
     assert len(a) >= 2 and list(a["n_pages"])[1] == 1
+
+
+def test_snapshot_sink_exactly_once(spark, pages_path, tmp_path, cfg):
+    """foreachBatch -> SnapshotTable with idempotent (lineage, batch_id)
+    commits: incremental drains append exactly the new files' rows, and
+    a replayed batch (crash between batch fn and checkpoint advance)
+    commits nothing the second time."""
+    from curator_spark.streaming.quality_stream import (
+        make_snapshot_batch_committer,
+        run_into_snapshot,
+    )
+
+    src_files = sorted(
+        f for f in os.listdir(pages_path) if f.endswith(".parquet")
+    )
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    half = len(src_files) // 2
+    for f in src_files[:half]:
+        shutil.copy(os.path.join(pages_path, f), in_dir)
+    ckpt = str(tmp_path / "ckpt")
+
+    table = run_into_snapshot(spark, in_dir, str(tmp_path / "tbl"), ckpt, cfg)
+    n_first = table.read(spark).count()
+    assert 0 < n_first < 1200
+
+    # drain again with new files: only they are processed and committed
+    for f in src_files[half:]:
+        shutil.copy(os.path.join(pages_path, f), in_dir)
+    table = run_into_snapshot(spark, in_dir, str(tmp_path / "tbl"), ckpt, cfg)
+    out = table.read(spark)
+    assert out.count() == 1200
+    assert out.select("url").distinct().count() == 1200
+
+    # simulate an at-least-once replay: re-invoke the batch fn with an
+    # already-committed batch id — must be a no-op
+    n_commits = len(table.active_commits())
+    committed = table.active_commits()[-1]
+    bid = committed["meta"]["stream_batch_id"]
+    replay_df = spark.read.parquet(
+        os.path.join(str(tmp_path / "tbl"), committed["data"])
+    ).withColumn("warc_ts", F.current_timestamp())
+    make_snapshot_batch_committer(table, ckpt)(replay_df, bid)
+    assert len(table.active_commits()) == n_commits
+    assert table.read(spark).count() == 1200
