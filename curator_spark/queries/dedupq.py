@@ -226,16 +226,32 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_id", "band.band_hash")
-    pairs = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band_id", "band_hash"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    # candidate pairs via bucket grouping, NOT a bands self-join: the
+    # self-join recomputes the whole shingle->minhash->band pipeline
+    # for both sides (no exchange reuse across the join) and amplifies
+    # a hot band_hash quadratically through the join's shuffle.
+    # Grouping runs the pipeline ONCE, shuffles each band row once,
+    # and expands pairs inside the (small, near-dup-sized) bucket.
+    ids = F.col("ids")
+    buckets = (
+        bands.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .where(F.size(ids) >= 2)
+    )
+    pairs_in_bucket = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
+    )
+    return (
+        buckets.select(F.explode(pairs_in_bucket).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    return pairs
 
 
 def _sql_minhash() -> str:
