@@ -37,6 +37,7 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "boilerplate_segments",
     "knn_brute",
     "ann_lsh_bucket",
     "embedding_neardup_pairs",

@@ -389,6 +389,86 @@ FROM clusters GROUP BY cluster_id
 """
 
 
+# ---------------------------------------------------------------------------
+# boilerplate_segments — cross-document boilerplate measurement, the
+# paragraph-dedup step of CC pipelines (headers/footers/cookie banners
+# repeating across pages). Segment = non-overlapping BP_SEG_WORDS-word
+# window (the synthetic corpus has no newlines, so word windows stand
+# in for paragraphs; the operator is unit-agnostic). A segment seen in
+# >= BP_MIN_DOCS distinct docs is boilerplate; output is the per-doc
+# boilerplate fraction. Scale shape: one shuffle to count distinct
+# docs per segment, one shuffle to join the (small) boilerplate set
+# back — left to AQE to broadcast when it fits.
+# ---------------------------------------------------------------------------
+
+BP_SEG_WORDS = 4
+BP_MIN_DOCS = 3
+
+
+def _segments(ws):
+    """Non-overlapping BP_SEG_WORDS-word segments (last may be partial)."""
+    n = F.size(ws)
+    return F.when(
+        n > 0,
+        F.transform(
+            F.sequence(
+                F.lit(1), F.ceil(n / F.lit(float(BP_SEG_WORDS))).cast("int")
+            ),
+            lambda i: F.array_join(
+                F.slice(ws, (i - 1) * BP_SEG_WORDS + 1, BP_SEG_WORDS), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def q_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(t(spark, sf_dir, "documents"), spark)
+    segs = d.select(
+        "doc_id", F.explode(_segments(_words(F.col("text")))).alias("seg")
+    )
+    bp = (
+        segs.groupBy("seg")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= BP_MIN_DOCS)
+        .select("seg", F.lit(1).alias("is_bp"))
+    )
+    n_bp = F.sum(F.coalesce(F.col("is_bp"), F.lit(0)))
+    return (
+        segs.join(bp, "seg", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            n_bp.cast("long").alias("n_boilerplate"),
+            F.round(n_bp / F.count("*"), 6).alias("boilerplate_frac"),
+        )
+    )
+
+
+SQL_BOILERPLATE = f"""
+WITH w AS ({SQL_WS_CTE}),
+segs AS (
+  SELECT doc_id, unnest(list_transform(
+    range(1, CAST(ceil(len(ws) / {BP_SEG_WORDS}.0) AS INT) + 1),
+    i -> list_aggregate(
+      ws[(i-1)*{BP_SEG_WORDS}+1:(i-1)*{BP_SEG_WORDS}+{BP_SEG_WORDS}],
+      'string_agg', ' '))) AS seg
+  FROM w WHERE len(ws) > 0
+),
+bp AS (
+  SELECT seg FROM segs GROUP BY seg
+  HAVING COUNT(DISTINCT doc_id) >= {BP_MIN_DOCS}
+)
+SELECT s.doc_id,
+       COUNT(*)::BIGINT AS n_segments,
+       SUM(CASE WHEN b.seg IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_boilerplate,
+       round(SUM(CASE WHEN b.seg IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS boilerplate_frac
+FROM segs s LEFT JOIN bp b USING (seg)
+GROUP BY s.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_keep_list": q_dedup_keep_list,
@@ -396,6 +476,7 @@ QUERIES = {
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
+    "boilerplate_segments": q_boilerplate_segments,
 }
 
 ORACLES = {
@@ -405,4 +486,5 @@ ORACLES = {
     "dedup_minhash_lsh": _sql_minhash(),
     "dedup_clusters": _sql_clusters(),
     "dedup_keep_list": _sql_keep_list(),
+    "boilerplate_segments": SQL_BOILERPLATE,
 }
