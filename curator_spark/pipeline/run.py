@@ -93,6 +93,43 @@ def quality_plan(
     return df
 
 
+def staged_plan(
+    pages: DataFrame, cfg: QualityConfig, from_html: bool = True
+) -> DataFrame:
+    """The complete write-side plan over a bucketed pages DataFrame:
+    extraction, scoring, decision, quarantine routing, final
+    bucket repartition. One scan of the input, one shuffle —
+    tests/test_plans.py pins that shape.
+
+    Failed-extraction rows ride the same write under sentinel
+    bucket -1 (the scorers are pure and cheap on empty text, and
+    their outputs are overridden below); run() relocates that
+    partition to the quarantine dir before commit.
+    """
+    if from_html:
+        pages = with_extracted_text(pages, out="doc_text")
+    else:
+        pages = pages.withColumn("doc_text", F.col("text"))
+
+    failed_pred = F.col("doc_text").isNull() | (F.col("doc_text") == "")
+    pages = pages.withColumn(
+        "bucket_id",
+        F.when(failed_pred, F.lit(-1)).otherwise(F.col("bucket_id")),
+    )
+
+    scored = quality_plan(pages, cfg, text_col="doc_text")
+    is_failed = F.col("bucket_id") == -1
+    return (
+        scored.select(*OUT_COLS)
+        .withColumn("keep", F.when(is_failed, F.lit(False)).otherwise(F.col("keep")))
+        .withColumn(
+            "drop_reason",
+            F.when(is_failed, F.lit("extract_failed")).otherwise(F.col("drop_reason")),
+        )
+        .repartition("bucket_id")
+    )
+
+
 @dataclass
 class RunResult:
     fingerprint: str
@@ -190,31 +227,7 @@ class QualityPipeline:
         if len(todo) < cfg.n_buckets:
             pages = pages.filter(F.col("bucket_id").isin(todo))
 
-        if from_html:
-            pages = with_extracted_text(pages, out="doc_text")
-        else:
-            pages = pages.withColumn("doc_text", F.col("text"))
-
-        # failed-extraction rows ride the SAME write under sentinel
-        # bucket -1 (single scan of the input; the scorers are pure and
-        # cheap on empty text, and their outputs are overridden below)
-        failed_pred = F.col("doc_text").isNull() | (F.col("doc_text") == "")
-        pages = pages.withColumn(
-            "bucket_id",
-            F.when(failed_pred, F.lit(-1)).otherwise(F.col("bucket_id")),
-        )
-
-        scored = quality_plan(pages, cfg, text_col="doc_text")
-        is_failed = F.col("bucket_id") == -1
-        out = (
-            scored.select(*OUT_COLS)
-            .withColumn("keep", F.when(is_failed, F.lit(False)).otherwise(F.col("keep")))
-            .withColumn(
-                "drop_reason",
-                F.when(is_failed, F.lit("extract_failed")).otherwise(F.col("drop_reason")),
-            )
-            .repartition("bucket_id")
-        )
+        out = staged_plan(pages, cfg, from_html=from_html)
 
         # stage data invisibly, then publish via one atomic manifest commit
         stage_dir = self.table.stage_dir()

@@ -132,3 +132,23 @@ def test_bucket_partition_pruning(spark, pages, cfg, tmp_path):
     n_sel = out.count()
     n_all = tab.read(spark).count()
     assert 0 < n_sel < n_all
+
+
+def test_pipeline_write_plan_one_scan_one_shuffle(spark, pages_path, cfg):
+    """The production write path (extract -> rules -> fused scorer ->
+    decide -> quarantine routing -> bucket repartition) reads the
+    input ONCE and shuffles ONCE — the failed-row branch must not add
+    a second scan of the input."""
+    from curator_spark.pipeline.run import staged_plan, with_bucket
+
+    import re
+
+    pages = with_bucket(spark.read.parquet(pages_path), 32)
+    out = staged_plan(pages, cfg, from_html=True)
+    plan = _formatted(out)
+    # each operator appears once in the tree and once as a "(n) Op"
+    # details header; count the headers
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(scans) == 1, plan
+    assert len(exchanges) == 1, plan
