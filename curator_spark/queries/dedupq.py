@@ -469,6 +469,66 @@ GROUP BY s.doc_id
 """
 
 
+def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rewrite each doc with boilerplate segments REMOVED (the actual
+    paragraph-dedup transformation, not just the metric): explode with
+    position, flag boilerplate, reassemble the survivors in original
+    order. Order preservation costs a collect_list + array_sort per
+    doc — bounded by doc length, not corpus size."""
+    d = spread(t(spark, sf_dir, "documents"), spark)
+    segs = d.select(
+        "doc_id",
+        F.posexplode(_segments(_words(F.col("text")))).alias("pos", "seg"),
+    )
+    bp = (
+        segs.groupBy("seg")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= BP_MIN_DOCS)
+        .select("seg", F.lit(1).alias("is_bp"))
+    )
+    parts = F.array_sort(
+        F.collect_list(F.struct("pos", "seg", "is_bp"))
+    )
+    kept = F.filter(parts, lambda s: s["is_bp"].isNull())
+    return (
+        segs.join(bp, "seg", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(kept, lambda s: s["seg"]), " "
+            ).alias("clean_text"),
+            F.sum(F.coalesce(F.col("is_bp"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
+SQL_BOILERPLATE_SCRUB = f"""
+WITH w AS ({SQL_WS_CTE}),
+segs AS (
+  SELECT doc_id, i - 1 AS pos,
+         list_aggregate(
+           ws[(i-1)*{BP_SEG_WORDS}+1:(i-1)*{BP_SEG_WORDS}+{BP_SEG_WORDS}],
+           'string_agg', ' ') AS seg
+  FROM w, unnest(range(1,
+    CAST(ceil(len(ws) / {BP_SEG_WORDS}.0) AS INT) + 1)) AS t(i)
+  WHERE len(ws) > 0
+),
+bp AS (
+  SELECT seg FROM segs GROUP BY seg
+  HAVING COUNT(DISTINCT doc_id) >= {BP_MIN_DOCS}
+)
+SELECT s.doc_id,
+       coalesce(string_agg(s.seg, ' ' ORDER BY s.pos)
+                FILTER (WHERE b.seg IS NULL), '') AS clean_text,
+       SUM(CASE WHEN b.seg IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_removed
+FROM segs s LEFT JOIN bp b USING (seg)
+GROUP BY s.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_keep_list": q_dedup_keep_list,
@@ -477,6 +537,7 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
     "boilerplate_segments": q_boilerplate_segments,
+    "boilerplate_scrub": q_boilerplate_scrub,
 }
 
 ORACLES = {
@@ -487,4 +548,5 @@ ORACLES = {
     "dedup_clusters": _sql_clusters(),
     "dedup_keep_list": _sql_keep_list(),
     "boilerplate_segments": SQL_BOILERPLATE,
+    "boilerplate_scrub": SQL_BOILERPLATE_SCRUB,
 }
