@@ -245,8 +245,108 @@ FROM packed GROUP BY lang, bucket, shard_id
 """
 
 
+# ---------------------------------------------------------------------------
+# curation_e2e — the whole training-data curation flow in ONE plan:
+# heuristic quality rules -> exact-dedup canonical selection ->
+# eval-split exclusion + n-gram decontamination -> boilerplate-fraction
+# threshold, with a first-failing-stage label per doc. Each stage is a
+# reused registry operator composed into one DAG. Note each join
+# branch re-scans the source (Spark does not materialize shared
+# subplans across branches) — the scans are column-pruned to what each
+# stage needs; at corpus scale you would persist the projected
+# (doc_id, text) base once (or run stages against the same cached
+# snapshot) and the composition is unchanged.
+# ---------------------------------------------------------------------------
+
+BP_MAX_FRAC = 0.5  # drop docs whose boilerplate fraction exceeds this
+
+
+def q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from curator_spark.queries.dedupq import q_boilerplate_segments
+    from curator_spark.queries.textq import q_quality_keepdrop
+
+    rules = q_quality_keepdrop(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("rule_keep")
+    )
+    d = t(spark, sf_dir, "documents")
+    h = F.md5(F.col("text").cast("binary"))
+    canon = (
+        d.select("doc_id", h.alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keep_doc_id"))
+    )
+    canonical = (
+        d.select("doc_id", h.alias("h"))
+        .join(canon, "h")
+        .select(
+            "doc_id", (F.col("doc_id") == F.col("keep_doc_id")).alias("is_canonical")
+        )
+    )
+    dec = q_decontaminate(spark, sf_dir)  # train-split docs only
+    bp = q_boilerplate_segments(spark, sf_dir).select(
+        "doc_id", "boilerplate_frac"
+    )
+    out = (
+        rules.join(canonical, "doc_id")
+        .join(dec, "doc_id", "left")
+        .join(bp, "doc_id", "left")
+    )
+    stage = (
+        F.when(~F.col("rule_keep"), F.lit("rules"))
+        .when(~F.col("is_canonical"), F.lit("duplicate"))
+        .when(F.col("doc_id") % EVAL_MOD == 0, F.lit("eval_split"))
+        .when(F.coalesce(F.col("contaminated"), F.lit(False)), F.lit("contaminated"))
+        .when(
+            F.coalesce(F.col("boilerplate_frac"), F.lit(0.0)) > BP_MAX_FRAC,
+            F.lit("boilerplate"),
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return out.select(
+        "doc_id", stage.alias("drop_stage"), stage.isNull().alias("final_keep")
+    )
+
+
+def sql_curation_e2e() -> str:
+    from curator_spark.queries.dedupq import SQL_BOILERPLATE
+    from curator_spark.queries.textq import sql_quality_keepdrop
+
+    return f"""
+WITH rules AS (
+  SELECT doc_id, keep AS rule_keep FROM ({sql_quality_keepdrop()})
+),
+canon AS (
+  SELECT doc_id,
+         doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
+  FROM documents
+),
+dec AS (
+  SELECT * FROM ({SQL_DECONTAMINATE})
+),
+bp AS (
+  SELECT doc_id, boilerplate_frac FROM ({SQL_BOILERPLATE})
+),
+staged AS (
+  SELECT r.doc_id,
+    CASE WHEN NOT r.rule_keep THEN 'rules'
+         WHEN NOT c.is_canonical THEN 'duplicate'
+         WHEN r.doc_id % {EVAL_MOD} = 0 THEN 'eval_split'
+         WHEN coalesce(dec.contaminated, FALSE) THEN 'contaminated'
+         WHEN coalesce(bp.boilerplate_frac, 0.0) > {BP_MAX_FRAC}
+           THEN 'boilerplate'
+         END AS drop_stage
+  FROM rules r
+  JOIN canon c USING (doc_id)
+  LEFT JOIN dec USING (doc_id)
+  LEFT JOIN bp USING (doc_id)
+)
+SELECT doc_id, drop_stage, drop_stage IS NULL AS final_keep FROM staged
+"""
+
+
 QUERIES = {
     "decontaminate": q_decontaminate,
+    "curation_e2e": q_curation_e2e,
     "sample_stratified": q_sample_stratified,
     "downsample_lang": q_downsample_lang,
     "shard_packing": q_shard_packing,
@@ -254,6 +354,7 @@ QUERIES = {
 
 ORACLES = {
     "decontaminate": SQL_DECONTAMINATE,
+    "curation_e2e": sql_curation_e2e(),
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "downsample_lang": sql_downsample_lang(),
     "shard_packing": SQL_SHARD_PACKING,
