@@ -64,12 +64,15 @@ def repeated_line_fraction(text: Column) -> Column:
     return F.when(n > 0, (n - F.size(F.array_distinct(ls))) / n).otherwise(F.lit(0.0))
 
 
-def stopword_density(text: Column) -> Column:
+def stopword_hits(text: Column) -> Column:
     ws = words(text)
     sw = F.array(*[F.lit(s) for s in STOPWORDS])
-    hits = F.size(F.filter(ws, lambda w: F.array_contains(sw, F.lower(w))))
-    wc = F.size(ws)
-    return F.when(wc > 0, hits / wc).otherwise(F.lit(0.0))
+    return F.size(F.filter(ws, lambda w: F.array_contains(sw, F.lower(w))))
+
+
+def stopword_density(text: Column) -> Column:
+    wc = word_count(text)
+    return F.when(wc > 0, stopword_hits(text) / wc).otherwise(F.lit(0.0))
 
 
 def _trie_regex(words) -> str:
@@ -105,8 +108,8 @@ def _trie_regex(words) -> str:
     return emit(trie)
 
 
-def stopword_density_fast(text: Column) -> Column:
-    """Same value as stopword_density, computed with a single codegen'd
+def stopword_hits_fast(text: Column) -> Column:
+    """Same value as stopword_hits, computed with a single codegen'd
     regexp_count instead of an interpreted array-filter lambda (HOF
     exprs are CodegenFallback — measured ~3x slower than this form on
     the bench corpus). Uses Java-regex atomic groups, so it is the
@@ -120,9 +123,12 @@ def stopword_density_fast(text: Column) -> Column:
     # prefix-trie alternation; the (?= ) guard keeps one-match-per-word
     # semantics while letting adjacent stopwords share the boundary.
     pat = " (?>" + _trie_regex(STOPWORDS) + ")(?= )"
-    hits = F.regexp_count(norm, F.lit(pat))
+    return F.regexp_count(norm, F.lit(pat))
+
+
+def stopword_density_fast(text: Column) -> Column:
     wc = word_count(text)
-    return F.when(wc > 0, hits / wc).otherwise(F.lit(0.0))
+    return F.when(wc > 0, stopword_hits_fast(text) / wc).otherwise(F.lit(0.0))
 
 
 def all_stats(text: Column, fast: bool = False) -> dict[str, Column]:
