@@ -116,14 +116,14 @@ def stopword_hits_fast(text: Column) -> Column:
     PIPELINE variant only; the HOF form remains the RE2-compatible twin
     for the DuckDB oracle queries. Equality of the two forms is
     pinned by tests/test_textstats.py."""
-    norm = F.concat(
-        F.lit(" "), F.regexp_replace(F.lower(text), r"\s+", " "), F.lit(" ")
-    )
-    # consumed leading space (literal-prefix fast skip) + atomic
-    # prefix-trie alternation; the (?= ) guard keeps one-match-per-word
-    # semantics while letting adjacent stopwords share the boundary.
-    pat = " (?>" + _trie_regex(STOPWORDS) + ")(?= )"
-    return F.regexp_count(norm, F.lit(pat))
+    # whitespace lookarounds directly on lower(text) — no normalized
+    # copy of every document (the \s+ collapse + concat cost more than
+    # the lookarounds save: 2.20s vs 1.82s on the bench corpus).
+    # (?<!\S)/(?!\S) delimit exactly the whitespace-separated tokens of
+    # words(), so semantics match the HOF form (fuzzed over 10k
+    # samples; pinned by tests/test_textstats.py).
+    pat = r"(?<!\S)(?>" + _trie_regex(STOPWORDS) + r")(?!\S)"
+    return F.regexp_count(F.lower(text), F.lit(pat))
 
 
 def stopword_density_fast(text: Column) -> Column:
