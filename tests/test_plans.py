@@ -152,3 +152,22 @@ def test_pipeline_write_plan_one_scan_one_shuffle(spark, pages_path, cfg):
     exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
     assert len(scans) == 1, plan
     assert len(exchanges) == 1, plan
+
+
+def test_snapshot_read_prunes_bucket_partitions(spark, pages_path, cfg, tmp_path):
+    """The committed output is partitioned by bucket_id, so a reader
+    filtering one bucket must hit partition pruning (PartitionFilters
+    in the scan), not read-all-then-filter — at corpus scale this is
+    reading 1/n_buckets of the table."""
+    from curator_spark.pipeline.run import QualityPipeline
+
+    pipe = QualityPipeline(str(tmp_path / "out"), cfg)
+    r = pipe.run(spark, pages_path)
+    out = pipe.read_output(spark, r.fingerprint)
+    one = out.where(F.col("bucket_id") == 3)
+    plan = _formatted(one)
+    assert "PartitionFilters" in plan
+    assert "bucket_id" in plan.split("PartitionFilters", 1)[1][:200]
+    # and the pruned read returns exactly that bucket's rows
+    m = pipe.metrics(spark, r.fingerprint).toPandas().set_index("bucket_id")
+    assert one.count() == int(m.loc[3, "docs_seen"])
