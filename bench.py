@@ -38,6 +38,9 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "boilerplate_segments",
+    "gopher_repetition",
+    "c4_line_filter",
+    "semdedup_prune",
     "knn_brute",
     "ann_lsh_bucket",
     "embedding_neardup_pairs",

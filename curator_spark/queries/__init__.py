@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from curator_spark.queries import (
     advancedq,
     dedupq,
+    gopherq,
     pipelineq,
     relationalq,
     simq,
@@ -21,7 +22,9 @@ from curator_spark.queries import (
     trainprepq,
 )
 
-_MODULES = (textq, dedupq, simq, relationalq, advancedq, pipelineq, trainprepq)
+_MODULES = (
+    textq, gopherq, dedupq, simq, relationalq, advancedq, pipelineq, trainprepq
+)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}

@@ -1,0 +1,400 @@
+"""Gopher repetition rules + Gopher doc-shape rules + C4 line filter.
+
+Completes the published web-filtering rule families beyond the four
+heuristics already in the core pipeline (textstats/rules):
+
+- `gopher_repetition` — Rae et al. 2021 (Gopher, table A1) repetition
+  signals: characters-in-most-frequent word {2,3}-gram fraction and
+  characters-in-duplicated word 5-gram fraction.  Computed per-row as
+  NATIVE Catalyst expressions (sort the row's n-gram array, fold it
+  with a run-length `aggregate`) — no explode, no shuffle: at 100 TB a
+  (doc_id, ngram) explode+groupBy would shuffle ~30x the corpus bytes
+  on an unbounded key space, while this form streams inside the scan
+  stage.  The DuckDB twin unnests and groups per doc — same per-ngram
+  counts, different physical strategy, identical values.
+- `gopher_quality_docs` — Gopher doc-shape gates (word-count bounds,
+  alphabetic-word fraction, bullet-start / ellipsis-end line
+  fractions) as a CASE precedence chain, same envelope as
+  `quality_keepdrop`.
+- `c4_line_filter` — Raffel et al. 2020 (C4 §2.2) line-level cleaning:
+  keep lines that end in terminal punctuation, have >= 3 words, and
+  carry no boilerplate markers ("javascript", "lorem ipsum", "cookie",
+  '{'); emit the cleaned text (byte-stable line join) plus kept/total
+  counts and a doc keep flag.  Order-preserving `filter` over the
+  line array — shuffle-free.
+
+Reference parity: the reference's per-row work is an LLM call
+(reference: src/bespokelabs/curator/llm/llm.py) — these rules are the
+north_rule's "Gopher/C4-style heuristic rules ... as native DataFrame
+column expressions" (BASELINE.json north_star), widened to the full
+published rule sets.  Every query here has a DuckDB oracle twin built
+from the same Python constants.
+
+Scale notes: all three queries are scan -> narrow projection -> (no
+exchange).  The only cost is per-row HOF evaluation (interpreted
+Catalyst, JVM-side — no Python boundary).  They partition trivially:
+no key, no skew surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from curator_spark.functions import textstats as ts
+from curator_spark.queries.common import spread, sql_words, t
+
+# ---------------------------------------------------------------------------
+# Shared constants (Spark + SQL twins are generated from these).
+# ---------------------------------------------------------------------------
+
+# Gopher table A1 thresholds.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.80
+GOPHER_MAX_BULLET_LINE_FRAC = 0.90
+GOPHER_MAX_ELLIPSIS_LINE_FRAC = 0.30
+GOPHER_MAX_TOP2GRAM_FRAC = 0.20
+GOPHER_MAX_TOP3GRAM_FRAC = 0.18
+GOPHER_MAX_DUP5GRAM_FRAC = 0.15
+
+BULLET_PREFIXES = ("- ", "* ", "•")  # "- ", "* ", bullet char
+ELLIPSIS_SUFFIXES = ("...", "…")
+
+# C4 line-filter constants.
+C4_MIN_LINE_WORDS = 3
+C4_MIN_KEPT_LINES = 3
+C4_BAD_SUBSTRINGS = ("javascript", "lorem ipsum", "cookie", "{")
+C4_TERMINAL_CHARS = (".", "!", "?", '"')
+
+
+# ---------------------------------------------------------------------------
+# gopher_repetition
+# ---------------------------------------------------------------------------
+
+def _word_ngrams(ws: Column, n: int) -> Column:
+    """Space-joined word n-grams of the row's word array (empty array
+    when the doc has fewer than n words)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+    )
+    return F.when(F.size(ws) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _rep_chars(ws: Column, n: int) -> Column:
+    """struct(top, dup): per-row repetition character masses for word
+    n-grams, via run-length fold over the SORTED n-gram array.
+
+    top = max over distinct n-grams of count * non-space-chars(ngram)
+    dup = sum over n-grams with count >= 2 of count * non-space-chars
+
+    Equal occurrences of an n-gram are adjacent after array_sort, so
+    one left fold sees every run; non-space chars of a space-joined
+    n-gram = length - (n-1).  Weighted-max (count * chars) avoids any
+    tie-break dependency a plain argmax-of-count would have.
+    """
+    sorted_ng = F.array_sort(_word_ngrams(ws, n))
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit("").alias("prev"),
+        zero.alias("run"),
+        zero.alias("top"),
+        zero.alias("dup"),
+    )
+
+    def run_chars(acc: Column) -> Column:
+        # character mass of the finished run (0 while prev is the seed)
+        return acc["run"] * (F.length(acc["prev"]) - F.lit(n - 1))
+
+    def merge(acc: Column, x: Column) -> Column:
+        cont = F.struct(
+            x.alias("prev"),
+            (acc["run"] + 1).alias("run"),
+            acc["top"].alias("top"),
+            acc["dup"].alias("dup"),
+        )
+        w = run_chars(acc)
+        close = F.struct(
+            x.alias("prev"),
+            F.lit(1).cast("long").alias("run"),
+            F.greatest(acc["top"], w).alias("top"),
+            (acc["dup"] + F.when(acc["run"] >= 2, w).otherwise(zero)).alias("dup"),
+        )
+        return F.when(x == acc["prev"], cont).otherwise(close)
+
+    def finish(acc: Column) -> Column:
+        w = run_chars(acc)
+        return F.struct(
+            F.greatest(acc["top"], w).alias("top"),
+            (acc["dup"] + F.when(acc["run"] >= 2, w).otherwise(zero)).alias("dup"),
+        )
+
+    return F.aggregate(sorted_ng, init, merge, finish)
+
+
+def _frac(mass: Column, nws: Column) -> Column:
+    # overlapping n-grams can cover a character more than once; clamp
+    # so the fraction stays in [0, 1] (same clamp in the SQL twin).
+    return F.round(
+        F.when(nws > 0, F.least(F.lit(1.0), mass / nws)).otherwise(F.lit(0.0)), 6
+    )
+
+
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # spread: the per-row fold is compute-heavy (interpreted HOF), so a
+    # single-split local scan must fan out first (no-op at corpus scale)
+    d = spread(t(spark, sf_dir, "documents"), spark)
+    ws = ts.words(F.col("text"))
+    nws = ts.non_ws_chars(F.col("text"))
+    d = d.select(
+        "doc_id",
+        nws.alias("nws"),
+        _rep_chars(ws, 2).alias("r2"),
+        _rep_chars(ws, 3).alias("r3"),
+        _rep_chars(ws, 5).alias("r5"),
+    )
+    return d.select(
+        "doc_id",
+        _frac(F.col("r2.top"), F.col("nws")).alias("top2gram_char_frac"),
+        _frac(F.col("r3.top"), F.col("nws")).alias("top3gram_char_frac"),
+        _frac(F.col("r5.dup"), F.col("nws")).alias("dup5gram_char_frac"),
+    )
+
+
+def _sql_ngram_cte(n: int, tag: str) -> str:
+    """CTE pair computing per-doc top/dup character mass for word
+    n-grams via unnest + group-by (the relational strategy; values
+    identical to the Spark run-length fold)."""
+    return f"""
+ng{tag} AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(ws) - {n - 1}, 0) + 1),
+           i -> array_to_string(list_slice(ws, i, i + {n - 1}), ' '))) AS g
+  FROM base
+),
+agg{tag} AS (
+  SELECT doc_id,
+         max(c * w) AS top,
+         sum(CASE WHEN c >= 2 THEN c * w ELSE 0 END) AS dup
+  FROM (
+    SELECT doc_id, g, count(*) AS c, length(g) - {n - 1} AS w
+    FROM ng{tag} GROUP BY doc_id, g
+  ) GROUP BY doc_id
+)"""
+
+
+SQL_GOPHER_REPETITION = f"""
+WITH base AS (
+  SELECT doc_id, {sql_words()} AS ws,
+         length(regexp_replace(text, '\\s+', '', 'g')) AS nws
+  FROM documents
+),
+{_sql_ngram_cte(2, 'a')},
+{_sql_ngram_cte(3, 'b')},
+{_sql_ngram_cte(5, 'c')}
+SELECT b.doc_id,
+  round(CASE WHEN nws > 0
+        THEN least(1.0, coalesce(agga.top, 0)::DOUBLE / nws) ELSE 0.0 END, 6)
+    AS top2gram_char_frac,
+  round(CASE WHEN nws > 0
+        THEN least(1.0, coalesce(aggb.top, 0)::DOUBLE / nws) ELSE 0.0 END, 6)
+    AS top3gram_char_frac,
+  round(CASE WHEN nws > 0
+        THEN least(1.0, coalesce(aggc.dup, 0)::DOUBLE / nws) ELSE 0.0 END, 6)
+    AS dup5gram_char_frac
+FROM base b
+LEFT JOIN agga ON b.doc_id = agga.doc_id
+LEFT JOIN aggb ON b.doc_id = aggb.doc_id
+LEFT JOIN aggc ON b.doc_id = aggc.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# gopher_quality_docs
+# ---------------------------------------------------------------------------
+
+def _line_frac(ls: Column, pred) -> Column:
+    n = F.size(ls)
+    return F.when(n > 0, F.size(F.filter(ls, pred)) / n).otherwise(F.lit(0.0))
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    ws = ts.words(F.col("text"))
+    ls = F.transform(ts.lines(F.col("text")), lambda l: F.trim(l))
+    wc = F.size(ws)
+    alpha = F.when(
+        wc > 0, F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]"))) / wc
+    ).otherwise(F.lit(0.0))
+
+    def starts_bullet(l: Column) -> Column:
+        p = F.lit(False)
+        for b in BULLET_PREFIXES:
+            p = p | l.startswith(b)
+        return p
+
+    def ends_ellipsis(l: Column) -> Column:
+        p = F.lit(False)
+        for e in ELLIPSIS_SUFFIXES:
+            p = p | l.endswith(e)
+        return p
+
+    d = d.select(
+        "doc_id",
+        wc.cast("long").alias("word_count"),
+        F.round(alpha, 6).alias("alpha_word_frac"),
+        F.round(_line_frac(ls, starts_bullet), 6).alias("bullet_line_frac"),
+        F.round(_line_frac(ls, ends_ellipsis), 6).alias("ellipsis_line_frac"),
+    )
+    c = F.col
+    reason = (
+        F.when(
+            (c("word_count") < GOPHER_MIN_WORDS)
+            | (c("word_count") > GOPHER_MAX_WORDS),
+            F.lit("gopher:word_count"),
+        )
+        .when(c("alpha_word_frac") < GOPHER_MIN_ALPHA_WORD_FRAC,
+              F.lit("gopher:alpha_words"))
+        .when(c("bullet_line_frac") > GOPHER_MAX_BULLET_LINE_FRAC,
+              F.lit("gopher:bullet_lines"))
+        .when(c("ellipsis_line_frac") > GOPHER_MAX_ELLIPSIS_LINE_FRAC,
+              F.lit("gopher:ellipsis_lines"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return d.select(
+        "doc_id", "word_count", "alpha_word_frac", "bullet_line_frac",
+        "ellipsis_line_frac",
+        reason.alias("drop_reason"), reason.isNull().alias("keep"),
+    )
+
+
+def _sql_or(terms) -> str:
+    return "(" + " OR ".join(terms) + ")"
+
+
+SQL_GOPHER_QUALITY = f"""
+WITH base AS (
+  SELECT doc_id, {sql_words()} AS ws,
+    list_transform(
+      list_filter(regexp_split_to_array(text, '\\n'), l -> trim(l) <> ''),
+      l -> trim(l)) AS ls
+  FROM documents
+),
+stats AS (
+  SELECT doc_id,
+    len(ws)::BIGINT AS word_count,
+    round(CASE WHEN len(ws) > 0
+      THEN len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+           / len(ws) ELSE 0.0 END, 6) AS alpha_word_frac,
+    round(CASE WHEN len(ls) > 0
+      THEN len(list_filter(ls, l -> {_sql_or([f"starts_with(l, '{b}')" for b in BULLET_PREFIXES])}))::DOUBLE
+           / len(ls) ELSE 0.0 END, 6) AS bullet_line_frac,
+    round(CASE WHEN len(ls) > 0
+      THEN len(list_filter(ls, l -> {_sql_or([f"ends_with(l, '{e}')" for e in ELLIPSIS_SUFFIXES])}))::DOUBLE
+           / len(ls) ELSE 0.0 END, 6) AS ellipsis_line_frac
+  FROM base
+)
+SELECT doc_id, word_count, alpha_word_frac, bullet_line_frac,
+  ellipsis_line_frac,
+  CASE
+    WHEN word_count < {GOPHER_MIN_WORDS} OR word_count > {GOPHER_MAX_WORDS}
+      THEN 'gopher:word_count'
+    WHEN alpha_word_frac < {GOPHER_MIN_ALPHA_WORD_FRAC}
+      THEN 'gopher:alpha_words'
+    WHEN bullet_line_frac > {GOPHER_MAX_BULLET_LINE_FRAC}
+      THEN 'gopher:bullet_lines'
+    WHEN ellipsis_line_frac > {GOPHER_MAX_ELLIPSIS_LINE_FRAC}
+      THEN 'gopher:ellipsis_lines'
+    ELSE NULL
+  END AS drop_reason,
+  CASE
+    WHEN word_count < {GOPHER_MIN_WORDS} OR word_count > {GOPHER_MAX_WORDS}
+      THEN FALSE
+    WHEN alpha_word_frac < {GOPHER_MIN_ALPHA_WORD_FRAC} THEN FALSE
+    WHEN bullet_line_frac > {GOPHER_MAX_BULLET_LINE_FRAC} THEN FALSE
+    WHEN ellipsis_line_frac > {GOPHER_MAX_ELLIPSIS_LINE_FRAC} THEN FALSE
+    ELSE TRUE
+  END AS keep
+FROM stats
+"""
+
+
+# ---------------------------------------------------------------------------
+# c4_line_filter
+# ---------------------------------------------------------------------------
+
+def _c4_keep_line(l: Column) -> Column:
+    term = F.lit(False)
+    for ch in C4_TERMINAL_CHARS:
+        term = term | l.endswith(ch)
+    wc_ok = (
+        F.size(F.filter(F.split(l, r"\s+"), lambda w: w != F.lit(""))) >=
+        C4_MIN_LINE_WORDS
+    )
+    clean = F.lit(True)
+    for s in C4_BAD_SUBSTRINGS:
+        clean = clean & ~F.lower(l).contains(s)
+    return term & wc_ok & clean
+
+
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    ls = F.transform(ts.lines(F.col("text")), lambda l: F.trim(l))
+    kept = F.filter(ls, _c4_keep_line)
+    return d.select(
+        "doc_id",
+        F.size(ls).cast("long").alias("lines_total"),
+        F.size(kept).cast("long").alias("lines_kept"),
+        (F.size(kept) >= C4_MIN_KEPT_LINES).alias("keep"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )
+
+
+def _sql_c4_keep_line(var: str = "l") -> str:
+    term = _sql_or([f"ends_with({var}, '{c}')" for c in C4_TERMINAL_CHARS])
+    wc = (
+        f"len(list_filter(regexp_split_to_array({var}, '\\s+'), x -> x <> ''))"
+        f" >= {C4_MIN_LINE_WORDS}"
+    )
+    clean = " AND ".join(
+        f"NOT contains(lower({var}), '{s}')" for s in C4_BAD_SUBSTRINGS
+    )
+    return f"({term} AND {wc} AND {clean})"
+
+
+SQL_C4_LINE_FILTER = f"""
+WITH base AS (
+  SELECT doc_id,
+    list_transform(
+      list_filter(regexp_split_to_array(text, '\\n'), l -> trim(l) <> ''),
+      l -> trim(l)) AS ls
+  FROM documents
+),
+filt AS (
+  SELECT doc_id, ls, list_filter(ls, l -> {_sql_c4_keep_line()}) AS kept
+  FROM base
+)
+SELECT doc_id,
+  len(ls)::BIGINT AS lines_total,
+  len(kept)::BIGINT AS lines_kept,
+  len(kept) >= {C4_MIN_KEPT_LINES} AS keep,
+  coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+FROM filt
+"""
+
+
+QUERIES = {
+    "gopher_repetition": q_gopher_repetition,
+    "gopher_quality_docs": q_gopher_quality,
+    "c4_line_filter": q_c4_line_filter,
+}
+
+ORACLES = {
+    "gopher_repetition": SQL_GOPHER_REPETITION,
+    "gopher_quality_docs": SQL_GOPHER_QUALITY,
+    "c4_line_filter": SQL_C4_LINE_FILTER,
+}

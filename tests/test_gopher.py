@@ -1,0 +1,123 @@
+"""Hand-computed expectations for the Gopher repetition / doc-shape
+rules and the C4 line filter (curator_spark/queries/gopherq.py).
+
+The registry oracle test already hash-compares these against DuckDB on
+the synthetic corpus; this file pins the SEMANTICS on constructed docs
+where the right answer is computable by hand — the run-length n-gram
+fold especially (sorted-array fold vs relational group-by is the one
+place the two engines use genuinely different algorithms).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from curator_spark.functions import textstats as ts
+from curator_spark.queries.gopherq import (
+    C4_MIN_KEPT_LINES,
+    _c4_keep_line,
+    _rep_chars,
+    _word_ngrams,
+)
+
+
+def _rep(spark, text: str, n: int) -> tuple[int, int]:
+    ws = ts.words(F.lit(text))
+    row = spark.range(1).select(_rep_chars(ws, n).alias("r")).first()
+    return row.r.top, row.r.dup
+
+
+def test_ngrams_basic(spark):
+    ws = ts.words(F.lit("a b c d"))
+    got = spark.range(1).select(_word_ngrams(ws, 2).alias("g")).first().g
+    assert got == ["a b", "b c", "c d"]
+    got3 = spark.range(1).select(_word_ngrams(ws, 5).alias("g")).first().g
+    assert got3 == []
+
+
+def test_top2gram_mass_hand_computed(spark):
+    # "the cat the cat the dog": 2-grams = [the cat, cat the, the cat,
+    # cat the, the dog]; "the cat" and "cat the" both occur twice,
+    # mass = 2 * 6 non-space chars = 12 each; top = 12.
+    top, dup = _rep(spark, "the cat the cat the dog", 2)
+    assert top == 12
+    # duplicated 2-grams: both runs of 2 -> dup = 12 + 12 = 24
+    assert dup == 24
+
+
+def test_single_run_whole_doc(spark):
+    # "x x x x x": 2-grams = 4 * "x x" -> one run of 4, mass 4*2=8.
+    top, dup = _rep(spark, "x x x x x", 2)
+    assert top == 8 and dup == 8
+
+
+def test_no_repetition_dup_zero(spark):
+    top, dup = _rep(spark, "alpha beta gamma delta", 2)
+    # every 2-gram unique: dup=0; top = max single-occurrence mass =
+    # len("gammadelta") = 10 ("gamma delta" minus its space).
+    assert dup == 0
+    assert top == 10
+
+
+def test_short_doc_empty_ngrams(spark):
+    top, dup = _rep(spark, "one", 2)
+    assert top == 0 and dup == 0
+
+
+def test_c4_line_predicate(spark):
+    lines = [
+        "This is a good sentence.",   # keep
+        "Short one.",                 # only 2 words -> drop
+        "No terminal punctuation",    # drop
+        "Enable javascript to view.", # marker -> drop
+        "We use cookies on this site.",  # 'cookie' marker -> drop
+        'He said "stop right there!"',  # ends with " -> keep
+    ]
+    df = spark.createDataFrame([(l,) for l in lines], ["l"])
+    got = [r.k for r in df.select(_c4_keep_line(F.col("l")).alias("k")).collect()]
+    assert got == [True, False, False, False, False, True]
+
+
+def test_c4_clean_text_byte_stable(spark, tmp_path):
+    # cleaned text is exactly the kept trimmed lines joined by \n —
+    # order preserved, no trailing separator.  (The driver testdata
+    # corpus is unpunctuated word soup — every line drops there, which
+    # the oracle test covers — so byte-stability is pinned on
+    # constructed docs.)
+    from curator_spark.queries.gopherq import q_c4_line_filter
+
+    docs = [
+        (1, "Keep me please today.\n  ws trimmed line here!  \nno punct\n"
+            "Another good line stays.\nAlso this one is kept.", "en", "s", 0),
+        (2, "nothing survives here", "en", "s", 0),
+    ]
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(
+        docs, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    rows = {r.doc_id: r for r in q_c4_line_filter(spark, sf).collect()}
+    r1 = rows[1]
+    assert r1.lines_total == 5 and r1.lines_kept == 4
+    assert r1.clean_text == (
+        "Keep me please today.\nws trimmed line here!\n"
+        "Another good line stays.\nAlso this one is kept."
+    )
+    assert r1.keep and r1.lines_kept >= C4_MIN_KEPT_LINES
+    r2 = rows[2]
+    assert r2.lines_kept == 0 and r2.clean_text == "" and not r2.keep
+
+
+def test_gopher_quality_reason_precedence(spark):
+    from curator_spark.queries.gopherq import GOPHER_MIN_WORDS, q_gopher_quality
+
+    df = q_gopher_quality(spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        if r.word_count < GOPHER_MIN_WORDS:
+            # word_count outranks every later rule in the chain
+            assert r.drop_reason == "gopher:word_count" and not r.keep
+        if r.keep:
+            assert r.drop_reason is None
