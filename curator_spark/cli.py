@@ -54,6 +54,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="after the run (or cache no-op), rewrite this "
                         "fingerprint's incremental commits into one "
                         "bucket-partitioned commit (small-files compaction)")
+    p.add_argument("--delete-urls", default=None, metavar="FILE",
+                   help="GDPR/takedown: newline-separated url list to DELETE "
+                        "from this fingerprint's committed output "
+                        "(partition-granularity copy-on-write; only the "
+                        "urls' hash-bucket dirs are rewritten)")
     return p
 
 
@@ -128,6 +133,12 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"error": str(e)}))
         return 3
     compacted = pipe.compact(spark, res.fingerprint) if args.compact else None
+    deleted = None
+    if args.delete_urls:
+        with open(args.delete_urls) as fh:
+            urls = [ln.strip() for ln in fh if ln.strip()]
+        if urls:
+            deleted = pipe.delete_urls(spark, urls, fp=res.fingerprint)
     print(json.dumps({
         "fingerprint": res.fingerprint,
         "cached": res.cached,
@@ -137,6 +148,7 @@ def main(argv: list[str] | None = None) -> int:
         "failed_rows": res.failed_rows,
         "snapshot_id": res.snapshot_id,
         "compacted_snapshot_id": compacted,
+        "deleted": deleted,
     }))
     return 0
 

@@ -177,6 +177,32 @@ class QualityPipeline:
             partition_by=["bucket_id"],
         )
 
+    def delete_urls(
+        self, spark: SparkSession, urls: list[str], fp: str | None = None
+    ) -> dict:
+        """GDPR/takedown row deletes: remove `urls` from committed
+        output (all fingerprints, or one). Rewrites ONLY the url-hash
+        bucket directories that can contain those urls —
+        partition-granularity copy-on-write via
+        `SnapshotTable.delete_where`; every other bucket's parquet
+        files are carried forward by reference, untouched. Manifest
+        lineage counters keep their original processing values (they
+        are a processing log, not a live row count); the replacing
+        manifest records `deleted_rows`."""
+        hashed = with_bucket(
+            spark.createDataFrame([(u,) for u in urls], "url string"),
+            self.cfg.n_buckets,
+        )
+        buckets = sorted({r["bucket_id"] for r in hashed.collect()})
+        pred = (lambda m: m.get("run_fingerprint") == fp) if fp else None
+        return self.table.delete_where(
+            spark,
+            F.col("url").isin(list(urls)),
+            partition_values=buckets,
+            predicate=pred,
+            meta_note="delete_urls",
+        )
+
     def read_output(self, spark: SparkSession, fp: str) -> DataFrame | None:
         return self.table.read(spark, lambda m: m.get("run_fingerprint") == fp)
 

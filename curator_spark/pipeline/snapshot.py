@@ -55,13 +55,20 @@ class SnapshotTable:
                 out.append(json.load(fh))
         return out
 
-    def active_commits(self) -> list[dict[str, Any]]:
+    def active_commits(self, as_of: int | None = None) -> list[dict[str, Any]]:
         """Commits that currently contribute data: full history minus
         any snapshot listed in a later commit's `replaces` (the
         Iceberg rewrite_data_files/overwrite lineage model — replaced
         data files stay on disk for time travel but are invisible to
-        readers)."""
+        readers).
+
+        `as_of` reads the table AS OF that snapshot id (Iceberg
+        `VERSION AS OF` time travel): only commits <= as_of exist, and
+        only their `replaces` edges apply — a later compaction or
+        delete does not hide data from a historical read."""
         all_ = self.commits()
+        if as_of is not None:
+            all_ = [c for c in all_ if c["snapshot_id"] <= as_of]
         replaced: set[int] = set()
         for c in all_:
             replaced.update(int(s) for s in c.get("replaces", []))
@@ -130,11 +137,13 @@ class SnapshotTable:
         ]
         if len(victims) < 2:
             return None
-        df = spark.read.parquet(os.path.join(self.root, victims[0]["data"]))
-        for c in victims[1:]:
-            df = df.unionByName(
-                spark.read.parquet(os.path.join(self.root, c["data"]))
-            )
+        df = None
+        for c in victims:
+            part = self._read_commit(spark, c)
+            if part is not None:
+                df = part if df is None else df.unionByName(part)
+        if df is None:
+            return None
         path = self.stage_dir()
         w = df
         if partition_by:
@@ -150,21 +159,175 @@ class SnapshotTable:
             path, meta, replaces=[c["snapshot_id"] for c in victims]
         )
 
+    # -- row-level delete (copy-on-write) ------------------------------------
+    def delete_where(
+        self,
+        spark: SparkSession,
+        condition,
+        partition_values: list | None = None,
+        partition_col: str = "bucket_id",
+        predicate=None,
+        meta_note: str = "delete",
+    ) -> dict[str, Any]:
+        """Row-level DELETE with partition-granularity copy-on-write —
+        the Iceberg `DELETE FROM ... WHERE` analog (COW mode). Rows
+        matching `condition` (a pyspark Column) are removed.
+
+        `partition_values` prunes the rewrite: only
+        `{partition_col}={v}` directories can contain matches (the
+        caller derives them, e.g. url-hash buckets for a url delete
+        list), so ONLY those directories are filtered and rewritten.
+        Every untouched partition directory of an affected commit is
+        carried into the replacing manifest BY REFERENCE (`parts`) —
+        its parquet files are never read, rewritten, or moved. At
+        10^12 rows, deleting k urls rewrites at most k bucket
+        directories, not the table. Commits with no affected
+        partition are left entirely alone (their manifest stays
+        current). With `partition_values=None` affected commits are
+        rewritten wholesale (unpartitioned fallback).
+
+        Returns {"deleted_rows": n, "new_snapshots": [...],
+        "rewritten_dirs": m}.
+        """
+        deleted = 0
+        new_snaps: list[int] = []
+        rewritten = 0
+        wanted = (
+            None
+            if partition_values is None
+            else {f"{partition_col}={v}" for v in partition_values}
+        )
+        for c in self.active_commits():
+            if predicate is not None and not predicate(c["meta"]):
+                continue
+            affected: list[tuple[str, str]] = []  # (dir, basePath)
+            untouched: list[dict[str, str]] = []  # manifest part refs
+            for path, base in self._parts(c):
+                subdirs = [
+                    d for d in sorted(os.listdir(path))
+                    if d.startswith(f"{partition_col}=")
+                    and os.path.isdir(os.path.join(path, d))
+                ] if os.path.isdir(path) else []
+                if wanted is None or not subdirs:
+                    # unpartitioned part (or no pruning info): all affected
+                    affected.append((path, base))
+                    continue
+                for d in subdirs:
+                    full = os.path.join(path, d)
+                    if d in wanted:
+                        affected.append((full, base))
+                    else:
+                        untouched.append(
+                            {
+                                "path": os.path.relpath(full, self.root),
+                                "base": os.path.relpath(base, self.root),
+                            }
+                        )
+            if not affected:
+                continue  # commit untouched, manifest stays current
+            # one read+filter+rewrite per affected basePath group
+            stage = self.stage_dir()
+            df = None
+            for base in sorted({b for _, b in affected}):
+                dirs = [p for p, b in affected if b == base]
+                part_df = spark.read.option("basePath", base).parquet(*dirs)
+                df = part_df if df is None else df.unionByName(part_df)
+            before = df.count()
+            kept = df.filter(~condition)
+            writer = kept.write.mode("overwrite")
+            if wanted is not None:
+                writer = writer.partitionBy(partition_col)
+            writer.parquet(stage)
+            has_files = any(
+                f.endswith(".parquet")
+                for _, _, fs in os.walk(stage) for f in fs
+            )
+            after = spark.read.parquet(stage).count() if has_files else 0
+            deleted += before - after
+            rewritten += len(affected)
+            meta = dict(c["meta"])
+            meta["delete"] = meta_note
+            meta["deleted_rows"] = meta.get("deleted_rows", 0) + (before - after)
+            stage_parts = (
+                [{"path": os.path.relpath(stage, self.root),
+                  "base": os.path.relpath(stage, self.root)}]
+                if has_files else []
+            )
+            parts = stage_parts + untouched
+            new_snaps.append(
+                self.commit_parts(parts, meta, replaces=[c["snapshot_id"]])
+            )
+        return {
+            "deleted_rows": deleted,
+            "new_snapshots": new_snaps,
+            "rewritten_dirs": rewritten,
+        }
+
+    def commit_parts(
+        self,
+        parts: list[dict[str, str]],
+        meta: dict[str, Any],
+        replaces: list[int] | None = None,
+    ) -> int:
+        """Commit a multi-part snapshot (list of {path, base} refs,
+        root-relative). Used by copy-on-write rewrites that carry
+        untouched partition directories forward by reference."""
+        sid = self.current_snapshot_id() + 1
+        payload: dict[str, Any] = {"snapshot_id": sid, "parts": parts, "meta": meta}
+        if replaces:
+            payload["replaces"] = sorted(int(s) for s in replaces)
+        tmp = os.path.join(self.manifest_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh)
+        os.rename(tmp, os.path.join(self.manifest_dir, f"v{sid:06d}.json"))
+        return sid
+
     # -- read path -----------------------------------------------------------
+    def _parts(self, c: dict[str, Any]) -> list[tuple[str, str]]:
+        """Resolve a commit to [(data_path, basePath)] absolute pairs."""
+        if "parts" in c:
+            return [
+                (os.path.join(self.root, p["path"]),
+                 os.path.join(self.root, p["base"]))
+                for p in c["parts"]
+            ]
+        d = os.path.join(self.root, c["data"])
+        return [(d, d)]
+
     def data_paths(self, predicate=None) -> list[str]:
         return [
-            os.path.join(self.root, c["data"])
+            p
             for c in self.active_commits()
             if predicate is None or predicate(c["meta"])
+            for p, _ in self._parts(c)
         ]
 
-    def read(self, spark: SparkSession, predicate=None) -> DataFrame | None:
-        paths = self.data_paths(predicate)
-        if not paths:
+    def _read_commit(self, spark: SparkSession, c: dict[str, Any]) -> DataFrame | None:
+        """DataFrame over one commit's parts (None for an all-deleted,
+        zero-part commit)."""
+        df = None
+        for path, base in self._parts(c):
+            part = spark.read.option("basePath", base).parquet(path)
+            df = part if df is None else df.unionByName(part)
+        return df
+
+    def read(
+        self, spark: SparkSession, predicate=None, as_of: int | None = None
+    ) -> DataFrame | None:
+        """Union of all active commits (optionally meta-filtered).
+        `as_of` time-travels to a historical snapshot id — replaced
+        data dirs stay on disk precisely for this."""
+        commits = [
+            c for c in self.active_commits(as_of=as_of)
+            if predicate is None or predicate(c["meta"])
+        ]
+        if not commits:
             return None
         # each commit dir is its own partition-discovery root; union them
         # (Iceberg would resolve this through its own manifests)
-        df = spark.read.parquet(paths[0])
-        for p in paths[1:]:
-            df = df.unionByName(spark.read.parquet(p))
+        df = None
+        for c in commits:
+            part = self._read_commit(spark, c)
+            if part is not None:
+                df = part if df is None else df.unionByName(part)
         return df

@@ -65,6 +65,24 @@ def test_cli_run_and_resume(spark, pages_path, tmp_path, capsys):
     assert third["cached"]
     assert third["compacted_snapshot_id"] is not None
 
+    # --delete-urls on the cached run: copy-on-write row delete
+    from curator_spark.pipeline.run import QualityPipeline
+    from curator_spark.config import QualityConfig
+
+    pipe = QualityPipeline(out, QualityConfig())
+    df = pipe.read_output(spark, third["fingerprint"])
+    n = df.count()
+    victims = [r["url"] for r in df.select("url").limit(2).collect()]
+    dl = str(tmp_path / "deletes.txt")
+    with open(dl, "w") as fh:
+        fh.write("\n".join(victims) + "\n")
+    rc = cli.main(["--input", pages_path, "--out", out, "--cores", "8",
+                   "--delete-urls", dl])
+    assert rc == 0
+    fourth = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert fourth["cached"] and fourth["deleted"]["deleted_rows"] == 2
+    assert pipe.read_output(spark, third["fingerprint"]).count() == n - 2
+
 
 @pytest.mark.skipif(
     __import__("shutil").which("spark-submit") is None,
