@@ -263,6 +263,97 @@ class SnapshotTable:
             "rewritten_dirs": rewritten,
         }
 
+    def merge_upsert(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        key_col: str,
+        partition_col: str = "bucket_id",
+        predicate=None,
+        meta_merge=None,
+        meta_note: str = "merge",
+    ) -> int:
+        """Atomic MERGE (upsert by key) — the Iceberg `MERGE INTO ...
+        WHEN MATCHED THEN UPDATE WHEN NOT MATCHED THEN INSERT` analog
+        in copy-on-write mode. `updates` must carry `partition_col`
+        (the table's layout column); rows whose `key_col` already
+        exists replace the old rows, new keys are inserted.
+
+        ONE new snapshot replaces every affected commit atomically:
+        its parts are (a) one stage dir holding [affected partitions'
+        surviving rows (left-anti on the update keys) + all update
+        rows] and (b) by-reference carries of every untouched
+        partition directory. Partitions outside the updates' partition
+        values are never read or rewritten; commits with no affected
+        partition keep their manifest. The old-row filter is a
+        LEFT ANTI JOIN on the (distinct) update keys — a broadcast
+        join for CDC-sized batches, never a giant IN literal.
+
+        `meta_merge(metas) -> meta` combines replaced commits'
+        metadata (default: first commit's meta). Returns the new
+        snapshot id.
+        """
+        parts_vals = [
+            r[0] for r in updates.select(partition_col).distinct().collect()
+        ]
+        wanted = {f"{partition_col}={v}" for v in parts_vals}
+        affected_sids: list[int] = []
+        affected_dirs: list[tuple[str, str]] = []
+        untouched: list[dict[str, str]] = []
+        metas: list[dict[str, Any]] = []
+        for c in self.active_commits():
+            if predicate is not None and not predicate(c["meta"]):
+                continue
+            hit = False
+            this_untouched: list[dict[str, str]] = []
+            for path, base in self._parts(c):
+                subdirs = [
+                    d for d in sorted(os.listdir(path))
+                    if d.startswith(f"{partition_col}=")
+                    and os.path.isdir(os.path.join(path, d))
+                ] if os.path.isdir(path) else []
+                if not subdirs:
+                    affected_dirs.append((path, base))
+                    hit = True
+                    continue
+                for d in subdirs:
+                    full = os.path.join(path, d)
+                    if d in wanted:
+                        affected_dirs.append((full, base))
+                        hit = True
+                    else:
+                        this_untouched.append(
+                            {
+                                "path": os.path.relpath(full, self.root),
+                                "base": os.path.relpath(base, self.root),
+                            }
+                        )
+            if hit:
+                affected_sids.append(c["snapshot_id"])
+                untouched.extend(this_untouched)
+                metas.append(c["meta"])
+
+        old = None
+        for base in sorted({b for _, b in affected_dirs}):
+            dirs = [p for p, b in affected_dirs if b == base]
+            part_df = spark.read.option("basePath", base).parquet(*dirs)
+            old = part_df if old is None else old.unionByName(part_df)
+        keys = updates.select(key_col).distinct()
+        merged = updates if old is None else (
+            old.join(keys, key_col, "left_anti").unionByName(updates)
+        )
+        stage = self.stage_dir()
+        merged.write.mode("overwrite").partitionBy(partition_col).parquet(stage)
+
+        meta = (
+            meta_merge(metas) if (meta_merge and metas)
+            else (dict(metas[0]) if metas else {})
+        )
+        meta["merge"] = meta_note
+        parts = [{"path": os.path.relpath(stage, self.root),
+                  "base": os.path.relpath(stage, self.root)}] + untouched
+        return self.commit_parts(parts, meta, replaces=affected_sids or None)
+
     def commit_parts(
         self,
         parts: list[dict[str, str]],

@@ -112,6 +112,60 @@ def test_time_travel_read_sees_pre_delete_rows(spark, pages_path, cfg, tmp_path)
     assert historical.filter(F.col("url").isin(urls)).count() == 3
 
 
+def test_merge_upsert_atomic_cow(spark, pages_path, cfg, tmp_path):
+    """Iceberg MERGE INTO (COW) analog: one atomic snapshot updates
+    matched keys and inserts new ones, rewriting only the touched
+    bucket directories."""
+    pipe = QualityPipeline(str(tmp_path / "out"), cfg)
+    res = pipe.run(spark, pages_path)
+    out = pipe.read_output(spark, res.fingerprint)
+    n0 = out.count()
+    victims = [r["url"] for r in out.select("url").limit(3).collect()]
+
+    ups = out.filter(F.col("url").isin(victims)).withColumn(
+        "scrubbed_text", F.lit("UPSERTED")
+    )
+    new = (
+        out.limit(1)
+        .withColumn("url", F.lit("https://merge.example/new"))
+        .withColumn(
+            "bucket_id",
+            F.pmod(F.xxhash64("url"), F.lit(cfg.n_buckets)).cast("int"),
+        )
+    )
+    updates = ups.unionByName(new)
+    vb = {r["bucket_id"] for r in updates.select("bucket_id").collect()}
+    files_before = _parquet_files(str(tmp_path / "out"))
+
+    sid_before = pipe.table.current_snapshot_id()
+    sid = pipe.table.merge_upsert(spark, updates, key_col="url")
+    # exactly ONE new snapshot (atomic merge)
+    assert sid == sid_before + 1 == pipe.table.current_snapshot_id()
+
+    out2 = pipe.read_output(spark, res.fingerprint)
+    assert out2.count() == n0 + 1
+    assert out2.filter(F.col("url") == "https://merge.example/new").count() == 1
+    got = {
+        r["url"]: r["scrubbed_text"]
+        for r in out2.filter(F.col("url").isin(victims)).collect()
+    }
+    assert set(got) == set(victims)
+    assert all(v == "UPSERTED" for v in got.values())
+    assert out2.select("url").distinct().count() == n0 + 1
+
+    # copy-on-write: unaffected buckets' files physically untouched
+    files_after = _parquet_files(str(tmp_path / "out"))
+    for p, mt in files_before.items():
+        bucket_dir = next(
+            (seg for seg in p.split(os.sep) if seg.startswith("bucket_id=")), ""
+        )
+        if bucket_dir and int(bucket_dir.split("=")[1]) not in vb:
+            assert p in files_after and files_after[p] == mt, p
+
+    # resume bookkeeping survives (meta carried through the merge)
+    assert pipe.run(spark, pages_path).cached
+
+
 def test_compact_after_delete(spark, pages_path, cfg, tmp_path):
     pipe = QualityPipeline(str(tmp_path / "out"), cfg)
     r1 = pipe.run(spark, pages_path, max_buckets=7)
