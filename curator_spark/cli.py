@@ -59,6 +59,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "from this fingerprint's committed output "
                         "(partition-granularity copy-on-write; only the "
                         "urls' hash-bucket dirs are rewritten)")
+    p.add_argument("--expire-snapshots", type=int, default=None, metavar="K",
+                   help="after the run, expire replaced snapshots outside "
+                        "the trailing-K time-travel window and delete data "
+                        "dirs no retained manifest references (Iceberg "
+                        "expire_snapshots + remove_orphan_files analog)")
     return p
 
 
@@ -139,6 +144,10 @@ def main(argv: list[str] | None = None) -> int:
             urls = [ln.strip() for ln in fh if ln.strip()]
         if urls:
             deleted = pipe.delete_urls(spark, urls, fp=res.fingerprint)
+    expired = (
+        pipe.table.expire_snapshots(retain_last=args.expire_snapshots)
+        if args.expire_snapshots is not None else None
+    )
     print(json.dumps({
         "fingerprint": res.fingerprint,
         "cached": res.cached,
@@ -149,6 +158,7 @@ def main(argv: list[str] | None = None) -> int:
         "snapshot_id": res.snapshot_id,
         "compacted_snapshot_id": compacted,
         "deleted": deleted,
+        "expired": expired,
     }))
     return 0
 

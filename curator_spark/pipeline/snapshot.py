@@ -68,6 +68,11 @@ class SnapshotTable:
         delete does not hide data from a historical read."""
         all_ = self.commits()
         if as_of is not None:
+            if as_of in self.expired_snapshot_ids():
+                raise ValueError(
+                    f"snapshot {as_of} has been expired "
+                    "(expire_snapshots); cannot time travel to it"
+                )
             all_ = [c for c in all_ if c["snapshot_id"] <= as_of]
         replaced: set[int] = set()
         for c in all_:
@@ -84,15 +89,19 @@ class SnapshotTable:
         data_path: str,
         meta: dict[str, Any],
         replaces: list[int] | None = None,
+        op: str = "append",
     ) -> int:
         """Atomically publish `data_path` with metadata. Returns snapshot id.
 
         `replaces` lists snapshot ids this commit supersedes (compaction /
         rewrite); replaced commits drop out of `active_commits()`.
+        `op` tags the snapshot's operation type (Iceberg snapshot
+        `operation` field): append | replace | delete | overwrite —
+        incremental readers dispatch on it.
         """
         sid = self.current_snapshot_id() + 1
         rel = os.path.relpath(data_path, self.root)
-        payload = {"snapshot_id": sid, "data": rel, "meta": meta}
+        payload = {"snapshot_id": sid, "data": rel, "meta": meta, "op": op}
         if replaces:
             payload["replaces"] = sorted(int(s) for s in replaces)
         tmp = os.path.join(self.manifest_dir, f".tmp-{uuid.uuid4().hex}")
@@ -141,7 +150,9 @@ class SnapshotTable:
         for c in victims:
             part = self._read_commit(spark, c)
             if part is not None:
-                df = part if df is None else df.unionByName(part)
+                df = part if df is None else df.unionByName(
+                    part, allowMissingColumns=True
+                )
         if df is None:
             return None
         path = self.stage_dir()
@@ -156,7 +167,8 @@ class SnapshotTable:
         metas = [c["meta"] for c in victims]
         meta = meta_merge(metas) if meta_merge else dict(metas[0])
         return self.commit(
-            path, meta, replaces=[c["snapshot_id"] for c in victims]
+            path, meta, replaces=[c["snapshot_id"] for c in victims],
+            op="replace",
         )
 
     # -- row-level delete (copy-on-write) ------------------------------------
@@ -255,7 +267,9 @@ class SnapshotTable:
             )
             parts = stage_parts + untouched
             new_snaps.append(
-                self.commit_parts(parts, meta, replaces=[c["snapshot_id"]])
+                self.commit_parts(
+                    parts, meta, replaces=[c["snapshot_id"]], op="delete"
+                )
             )
         return {
             "deleted_rows": deleted,
@@ -352,19 +366,24 @@ class SnapshotTable:
         meta["merge"] = meta_note
         parts = [{"path": os.path.relpath(stage, self.root),
                   "base": os.path.relpath(stage, self.root)}] + untouched
-        return self.commit_parts(parts, meta, replaces=affected_sids or None)
+        return self.commit_parts(
+            parts, meta, replaces=affected_sids or None, op="overwrite"
+        )
 
     def commit_parts(
         self,
         parts: list[dict[str, str]],
         meta: dict[str, Any],
         replaces: list[int] | None = None,
+        op: str = "append",
     ) -> int:
         """Commit a multi-part snapshot (list of {path, base} refs,
         root-relative). Used by copy-on-write rewrites that carry
         untouched partition directories forward by reference."""
         sid = self.current_snapshot_id() + 1
-        payload: dict[str, Any] = {"snapshot_id": sid, "parts": parts, "meta": meta}
+        payload: dict[str, Any] = {
+            "snapshot_id": sid, "parts": parts, "meta": meta, "op": op,
+        }
         if replaces:
             payload["replaces"] = sorted(int(s) for s in replaces)
         tmp = os.path.join(self.manifest_dir, f".tmp-{uuid.uuid4().hex}")
@@ -399,7 +418,9 @@ class SnapshotTable:
         df = None
         for path, base in self._parts(c):
             part = spark.read.option("basePath", base).parquet(path)
-            df = part if df is None else df.unionByName(part)
+            df = part if df is None else df.unionByName(
+                part, allowMissingColumns=True
+            )
         return df
 
     def read(
@@ -420,5 +441,140 @@ class SnapshotTable:
         for c in commits:
             part = self._read_commit(spark, c)
             if part is not None:
-                df = part if df is None else df.unionByName(part)
+                df = part if df is None else df.unionByName(
+                    part, allowMissingColumns=True
+                )
         return df
+
+    # -- incremental read (changelog) -----------------------------------------
+    @staticmethod
+    def op_of(c: dict[str, Any]) -> str:
+        """Snapshot operation type. Manifests written before `op`
+        existed are inferred: a `replaces` edge meant compaction."""
+        return c.get("op") or ("replace" if c.get("replaces") else "append")
+
+    def read_incremental(
+        self,
+        spark: SparkSession,
+        since: int,
+        as_of: int | None = None,
+        predicate=None,
+    ) -> DataFrame | None:
+        """Rows APPENDED after snapshot `since` (exclusive) up to
+        `as_of` (inclusive; default current) — the Iceberg incremental
+        append scan (`from-snapshot-id` streaming read) analog. Lets a
+        downstream consumer (dedup-index refresh, embedding indexer,
+        export job) process only new data instead of re-scanning a
+        10^12-row table.
+
+        Semantics mirror Iceberg's IncrementalAppendScan exactly:
+        `replace` snapshots (compaction — logical data unchanged) in
+        the range are SKIPPED; a `delete`/`overwrite` snapshot in the
+        range raises ValueError, because appended-rows-only is no
+        longer a faithful changelog once rows were removed or
+        rewritten. An append in the range later compacted away is
+        still read from its original (retained) directory via time
+        travel, so incremental consumers are unaffected by maintenance.
+        """
+        if as_of is None:
+            as_of = self.current_snapshot_id()
+        window = [
+            c for c in self.commits() if since < c["snapshot_id"] <= as_of
+        ]
+        bad = [c for c in window if self.op_of(c) in ("delete", "overwrite")]
+        if bad:
+            raise ValueError(
+                "incremental append scan crosses non-append snapshots "
+                f"{[c['snapshot_id'] for c in bad]} "
+                f"({[self.op_of(c) for c in bad]}); read a full snapshot "
+                "instead or start after them"
+            )
+        appends = [
+            c for c in window
+            if self.op_of(c) == "append"
+            and (predicate is None or predicate(c["meta"]))
+        ]
+        df = None
+        for c in appends:
+            part = self._read_commit(spark, c)
+            if part is not None:
+                df = part if df is None else df.unionByName(
+                    part, allowMissingColumns=True
+                )
+        return df
+
+    # -- snapshot expiry + orphan GC -------------------------------------------
+    def expired_snapshot_ids(self) -> set[int]:
+        p = os.path.join(self.manifest_dir, "_expired.json")
+        if not os.path.exists(p):
+            return set()
+        with open(p) as fh:
+            return set(json.load(fh))
+
+    def expire_snapshots(self, retain_last: int = 1) -> dict[str, Any]:
+        """Expire replaced (historical) snapshots and physically delete
+        data directories no retained manifest references — the Iceberg
+        `expire_snapshots` + `remove_orphan_files` analog. Time travel
+        keeps every superseded directory on disk; without expiry a
+        10^12-row table's storage grows with every compaction, delete,
+        and merge, so bounded-retention expiry is a first-class
+        maintenance operation.
+
+        Retained: every ACTIVE commit (always, regardless of age) plus
+        any snapshot within the trailing `retain_last` ids (the
+        still-time-travelable window). Replaced snapshots outside that
+        window lose their manifest; their data dirs are deleted unless
+        a retained manifest still references them (copy-on-write
+        carries parts by reference across commits, so reference
+        counting — not age — decides physical deletion). GC runs at
+        both whole-stage-dir and partition-subdir granularity.
+
+        Returns {"expired": [...ids], "deleted_dirs": n}.
+        """
+        import shutil
+
+        current = self.current_snapshot_id()
+        active = {c["snapshot_id"] for c in self.active_commits()}
+        cutoff = current - retain_last + 1
+        expired = [
+            c["snapshot_id"] for c in self.commits()
+            if c["snapshot_id"] not in active and c["snapshot_id"] < cutoff
+        ]
+        if not expired:
+            return {"expired": [], "deleted_dirs": 0}
+        for sid in expired:
+            os.remove(os.path.join(self.manifest_dir, f"v{sid:06d}.json"))
+        tomb = self.expired_snapshot_ids() | set(expired)
+        tmp = os.path.join(self.manifest_dir, f".tmp-{uuid.uuid4().hex}")
+        with open(tmp, "w") as fh:
+            json.dump(sorted(tomb), fh)
+        os.rename(tmp, os.path.join(self.manifest_dir, "_expired.json"))
+
+        # reference set: every path any remaining manifest points at
+        refs = {
+            os.path.normpath(p)
+            for c in self.commits()
+            for p, _ in self._parts(c)
+        }
+
+        def referenced(d: str) -> bool:
+            d = os.path.normpath(d)
+            return any(r == d or r.startswith(d + os.sep) for r in refs)
+
+        deleted = 0
+        for top in sorted(os.listdir(self.data_dir)):
+            top_path = os.path.join(self.data_dir, top)
+            if not os.path.isdir(top_path):
+                continue
+            if not referenced(top_path):
+                shutil.rmtree(top_path)
+                deleted += 1
+                continue
+            if os.path.normpath(top_path) in refs:
+                continue  # whole dir referenced; keep all subdirs
+            for sub in sorted(os.listdir(top_path)):
+                sub_path = os.path.join(top_path, sub)
+                if os.path.isdir(sub_path) and not referenced(sub_path):
+                    shutil.rmtree(sub_path)
+                    deleted += 1
+        return {"expired": sorted(expired), "deleted_dirs": deleted}
