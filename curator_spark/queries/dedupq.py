@@ -108,6 +108,63 @@ FROM documents GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# dedup_url — canonical-URL dedup (the Common-Crawl "one document per
+# canonical url" step that runs BEFORE any content dedup: strip scheme,
+# www., query string, fragment, trailing slash; lowercase host+path).
+# The testdata `documents` table has no url column, so the url is
+# synthesized deterministically from (source, doc_id) with deliberate
+# collisions (path = doc_id % 7) and per-row scheme/www/query noise —
+# canonicalization must erase exactly the noise and keep the collisions.
+# At corpus scale this is ONE hash-shuffle on the canonical url (same
+# cost shape as dedup_exact but keyed on a short string, not the text).
+# ---------------------------------------------------------------------------
+
+def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("https://")).otherwise(
+            F.lit("http://")),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"), F.lit(".example.com/p/"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit("?utm_source=feed#frag")).otherwise(F.lit("")),
+    )
+    canon = F.regexp_replace(F.lower(raw), r"^https?://(www\.)?", "")
+    canon = F.regexp_replace(canon, r"[?#].*$", "")
+    canon = F.regexp_replace(canon, r"/$", "")
+    return (
+        d.select("doc_id", canon.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+SQL_DEDUP_URL = """
+WITH raw AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
+    || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+    || source || '.example.com/p/' || (doc_id % 7)::VARCHAR
+    || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+    || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed#frag' ELSE '' END)
+    AS url
+  FROM documents
+)
+SELECT regexp_replace(regexp_replace(regexp_replace(lower(url),
+         '^https?://(www\\.)?', ''), '[?#].*$', ''), '/$', '')
+         AS canonical_url,
+       min(doc_id)::BIGINT AS keep_doc_id,
+       count(*)::BIGINT AS dup_count
+FROM raw GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # dedup_jaccard_pairs — exact n-gram Jaccard near-dup pairs.
 # ---------------------------------------------------------------------------
 
@@ -533,6 +590,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_keep_list": q_dedup_keep_list,
     "dedup_normalized": q_dedup_normalized,
+    "dedup_url": q_dedup_url,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
@@ -543,6 +601,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_normalized": SQL_DEDUP_NORMALIZED,
+    "dedup_url": SQL_DEDUP_URL,
     "dedup_jaccard_pairs": SQL_DEDUP_JACCARD,
     "dedup_minhash_lsh": _sql_minhash(),
     "dedup_clusters": _sql_clusters(),

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from curator_spark.config import DEFAULT_CONFIG as CFG
 from curator_spark.functions import textstats as ts
-from curator_spark.functions.scrub_core import SCRUB_RULES
+from curator_spark.functions.scrub_core import SCRUB_RULES, TOXIC_WORDS
 from curator_spark.queries.common import spread, sql_stopword_list, sql_words, t
 from curator_spark.stages.scrub import with_scrub
 
@@ -192,6 +192,51 @@ def sql_scrub_pii() -> str:
 SELECT doc_id,
   {cur} AS scrubbed_text,
   {count_cols}
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# toxicity_score — blocklist-density scoring (the score-only face of the
+# scrub stage's toxicity rule: flag documents instead of rewriting them,
+# the usual mode for toxicity in CC pipelines where the decision is
+# drop-vs-keep, not redaction). Pure native exprs — regexp_count stays
+# in whole-stage codegen, zero shuffles. The lexicon = the scrub stage's
+# TOXIC_WORDS plus corpus-present terms so the synthetic table exercises
+# nonzero densities and the threshold branch.
+# ---------------------------------------------------------------------------
+
+TOXICITY_LEXICON = tuple(sorted(set(TOXIC_WORDS) | {"slow", "legacy"}))
+TOXICITY_FLAG_DENSITY = 0.05  # flag when >5% of words are blocklisted
+
+
+def q_toxicity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    pat = r"\b(?:" + "|".join(TOXICITY_LEXICON) + r")\b"
+    hits = F.regexp_count(F.lower(F.col("text")), F.lit(pat))
+    wc = ts.word_count(F.col("text"))
+    density = F.when(wc > 0, hits / wc).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        hits.cast("long").alias("toxic_hits"),
+        F.round(density, 6).alias("toxic_density"),
+        (density > TOXICITY_FLAG_DENSITY).alias("flagged"),
+    )
+
+
+def sql_toxicity_score() -> str:
+    pat = r"\b(" + "|".join(TOXICITY_LEXICON) + r")\b"
+    return f"""
+SELECT doc_id,
+  len(regexp_extract_all(lower(text), '{pat}'))::BIGINT AS toxic_hits,
+  round(CASE WHEN len({sql_words()}) > 0
+        THEN len(regexp_extract_all(lower(text), '{pat}'))::DOUBLE
+             / len({sql_words()})
+        ELSE 0.0 END, 6) AS toxic_density,
+  (CASE WHEN len({sql_words()}) > 0
+        THEN len(regexp_extract_all(lower(text), '{pat}'))::DOUBLE
+             / len({sql_words()})
+        ELSE 0.0 END) > {TOXICITY_FLAG_DENSITY} AS flagged
 FROM documents
 """
 
@@ -516,6 +561,7 @@ QUERIES = {
     "langid_heuristic": q_langid_heuristic,
     "quality_keepdrop": q_quality_keepdrop,
     "scrub_pii": q_scrub_pii,
+    "toxicity_score": q_toxicity_score,
     "token_stats": q_token_stats,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_winnowing": q_doc_winnowing,
@@ -529,6 +575,7 @@ ORACLES = {
     "langid_heuristic": sql_langid_heuristic(),
     "quality_keepdrop": sql_quality_keepdrop(),
     "scrub_pii": sql_scrub_pii(),
+    "toxicity_score": sql_toxicity_score(),
     "token_stats": sql_token_stats(),
     "doc_fingerprint": sql_doc_fingerprint(),
     "doc_winnowing": sql_doc_winnowing(),
