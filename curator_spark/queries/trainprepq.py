@@ -117,6 +117,98 @@ WHERE d.doc_id % {EVAL_MOD} <> 0
 
 
 # ---------------------------------------------------------------------------
+# decontaminate_fuzzy — NEAR-DUP benchmark decontamination: flag a
+# training doc when its word-2gram Jaccard similarity to ANY eval doc
+# reaches FUZZY_THRESHOLD (exact-ngram `decontaminate` misses light
+# paraphrases/retokenizations; fuzzy overlap is how Llama/Gopher data
+# cards describe eval-set decontamination). Scale shape: the eval
+# side's exploded shingles are tiny and BROADCAST into the candidate
+# semi-join, so the corpus shingle stream never shuffles; the only
+# exchange is the (train_doc, eval_doc) candidate aggregation, whose
+# volume is bounded by shared-shingle hits, not corpus x eval.
+# ---------------------------------------------------------------------------
+
+FUZZY_NGRAM = 2        # shingle width for fuzzy overlap (docs are 10-99 words)
+FUZZY_THRESHOLD = 0.15  # max-Jaccard flag level (p90~0.085, p99~0.28 at sf0.01)
+
+
+def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(t(spark, sf_dir, "documents"), spark)
+    sh = d.select(
+        "doc_id",
+        F.explode(_shingles(_words(F.col("text")), FUZZY_NGRAM)).alias("s"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    eval_sh = sh.filter(is_eval).select(
+        F.col("doc_id").alias("eval_id"), "s"
+    )
+    cand = (
+        sh.filter(~is_eval)
+        .join(F.broadcast(eval_sh), "s")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = (
+        cand.join(sizes, "doc_id")
+        .join(
+            F.broadcast(
+                sizes.filter(is_eval)
+                .withColumnRenamed("doc_id", "eval_id")
+                .withColumnRenamed("n_sh", "n_eval")
+            ),
+            "eval_id",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max(
+                F.col("n_common")
+                / (F.col("n_sh") + F.col("n_eval") - F.col("n_common"))
+            ).alias("mj")
+        )
+    )
+    train = d.filter(~is_eval).select("doc_id")
+    return train.join(jac, "doc_id", "left").select(
+        "doc_id",
+        F.round(F.coalesce("mj", F.lit(0.0)), 6).alias("max_jaccard"),
+        (F.coalesce("mj", F.lit(0.0)) >= FUZZY_THRESHOLD).alias("contaminated"),
+    )
+
+
+_SQL_FUZZY_SHINGLES = (
+    f"CASE WHEN len(ws) >= {FUZZY_NGRAM} THEN list_distinct(list_transform("
+    f"range(1, len(ws) - {FUZZY_NGRAM} + 2), "
+    f"i -> list_aggregate(ws[i:i+{FUZZY_NGRAM}-1], 'string_agg', ' '))) "
+    "ELSE CAST([] AS VARCHAR[]) END"
+)
+
+SQL_DECONTAMINATE_FUZZY = f"""
+WITH ws AS ({SQL_WS_CTE}),
+sh AS (SELECT doc_id, unnest({_SQL_FUZZY_SHINGLES}) AS s FROM ws),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+cand AS (
+  SELECT tr.doc_id AS doc_id, ev.doc_id AS eval_id, count(*) AS n_common
+  FROM sh tr JOIN sh ev USING (s)
+  WHERE tr.doc_id % {EVAL_MOD} <> 0 AND ev.doc_id % {EVAL_MOD} = 0
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT cand.doc_id,
+    max(n_common::DOUBLE / (st.n_sh + se.n_sh - n_common)) AS mj
+  FROM cand
+  JOIN sizes st ON st.doc_id = cand.doc_id
+  JOIN sizes se ON se.doc_id = cand.eval_id
+  GROUP BY 1
+)
+SELECT d.doc_id,
+  round(coalesce(jac.mj, 0.0), 6) AS max_jaccard,
+  coalesce(jac.mj, 0.0) >= {FUZZY_THRESHOLD} AS contaminated
+FROM documents d LEFT JOIN jac ON d.doc_id = jac.doc_id
+WHERE d.doc_id % {EVAL_MOD} <> 0
+"""
+
+
+# ---------------------------------------------------------------------------
 # sample_stratified — md5-ranked language-balanced downsample.
 # ---------------------------------------------------------------------------
 
@@ -346,6 +438,7 @@ SELECT doc_id, drop_stage, drop_stage IS NULL AS final_keep FROM staged
 
 QUERIES = {
     "decontaminate": q_decontaminate,
+    "decontaminate_fuzzy": q_decontaminate_fuzzy,
     "curation_e2e": q_curation_e2e,
     "sample_stratified": q_sample_stratified,
     "downsample_lang": q_downsample_lang,
@@ -354,6 +447,7 @@ QUERIES = {
 
 ORACLES = {
     "decontaminate": SQL_DECONTAMINATE,
+    "decontaminate_fuzzy": SQL_DECONTAMINATE_FUZZY,
     "curation_e2e": sql_curation_e2e(),
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "downsample_lang": sql_downsample_lang(),
