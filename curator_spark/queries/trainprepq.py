@@ -118,18 +118,26 @@ WHERE d.doc_id % {EVAL_MOD} <> 0
 
 # ---------------------------------------------------------------------------
 # decontaminate_fuzzy — NEAR-DUP benchmark decontamination: flag a
-# training doc when its word-2gram Jaccard similarity to ANY eval doc
+# training doc when its word-3gram Jaccard similarity to ANY eval doc
 # reaches FUZZY_THRESHOLD (exact-ngram `decontaminate` misses light
 # paraphrases/retokenizations; fuzzy overlap is how Llama/Gopher data
 # cards describe eval-set decontamination). Scale shape: the eval
 # side's exploded shingles are tiny and BROADCAST into the candidate
-# semi-join, so the corpus shingle stream never shuffles; the only
-# exchange is the (train_doc, eval_doc) candidate aggregation, whose
-# volume is bounded by shared-shingle hits, not corpus x eval.
+# join, so the corpus shingle stream never shuffles; the only exchange
+# aggregates (train_doc, eval_doc) candidates. Shingle width bounds
+# that stream: 3-grams are rare enough that candidates ~= true
+# near-dup pairs (measured at sf0.01: 2-grams produce 24,820 candidate
+# rows, 3-grams only the handful of genuine near-dups). At corpus
+# scale, if the candidate stream still runs hot (boilerplate-heavy
+# corpora), the bounded path is MinHash-LSH between corpus and eval
+# (dedup_minhash_lsh machinery) or a document-frequency cap on
+# shingles; AQE turns the final corpus<-jac join into a broadcast when
+# the contaminated set is small.
 # ---------------------------------------------------------------------------
 
-FUZZY_NGRAM = 2        # shingle width for fuzzy overlap (docs are 10-99 words)
-FUZZY_THRESHOLD = 0.15  # max-Jaccard flag level (p90~0.085, p99~0.28 at sf0.01)
+FUZZY_NGRAM = 3        # shingle width for fuzzy overlap (docs are 10-99 words)
+FUZZY_THRESHOLD = 0.5  # max-Jaccard flag level: bimodal at sf0.01 — true
+                       # near-dups sit at ~0.96, background noise < 0.1
 
 
 def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
