@@ -52,6 +52,9 @@ HEADLINE = [
     "sessionize",
     "events_hourly_rollup",
     "decontaminate",
+    "decontaminate_fuzzy",
+    "dedup_url",
+    "toxicity_score",
     "downsample_lang",
     "sample_stratified",
     "shard_packing",

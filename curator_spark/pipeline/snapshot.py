@@ -503,6 +503,93 @@ class SnapshotTable:
                 )
         return df
 
+    def read_changelog(
+        self, spark: SparkSession, since: int, as_of: int | None = None
+    ) -> DataFrame | None:
+        """Row-level CDC between two snapshots — the Iceberg
+        `create_changelog_view` analog: every row tagged
+        `_change_type` insert|delete (an update = delete of the old
+        row + insert of the new). Feeds downstream mirrors/indexes
+        that must track removals, which `read_incremental` (appends
+        only) cannot.
+
+        Cost model: if the range contains only append/replace
+        snapshots, this IS the incremental append scan (no diffing).
+        Otherwise the two snapshot views' manifests are compared at
+        partition-directory granularity — directories referenced by
+        BOTH views (untouched partitions carried by reference across
+        COW rewrites) cancel out and are never read; only rewritten
+        directories are scanned, then multiset-diffed (exceptAll,
+        one shuffle over the changed partitions, not the table).
+        """
+        from pyspark.sql import functions as F
+
+        if as_of is None:
+            as_of = self.current_snapshot_id()
+        window_ops = {
+            self.op_of(c) for c in self.commits()
+            if since < c["snapshot_id"] <= as_of
+        }
+        if not (window_ops & {"delete", "overwrite"}):
+            inc = self.read_incremental(spark, since, as_of)
+            return (
+                None if inc is None
+                else inc.withColumn("_change_type", F.lit("insert"))
+            )
+
+        def leaf_parts(sid: int) -> set[tuple[str, str]]:
+            """(dir, basePath) pairs of a snapshot view, expanded to
+            partition subdirs so by-reference carries cancel."""
+            out: set[tuple[str, str]] = set()
+            for c in self.active_commits(as_of=sid):
+                for path, base in self._parts(c):
+                    subs = [
+                        os.path.join(path, d)
+                        for d in sorted(os.listdir(path))
+                        if "=" in d and os.path.isdir(os.path.join(path, d))
+                    ] if os.path.isdir(path) else []
+                    if subs:
+                        out.update((s, base) for s in subs)
+                    else:
+                        out.add((path, base))
+            return out
+
+        a = leaf_parts(since) if since > 0 else set()
+        b = leaf_parts(as_of)
+
+        def read_pairs(pairs: set[tuple[str, str]]) -> DataFrame | None:
+            df = None
+            for base in sorted({bb for _, bb in pairs}):
+                dirs = sorted(p for p, bb in pairs if bb == base)
+                part = spark.read.option("basePath", base).parquet(*dirs)
+                df = part if df is None else df.unionByName(
+                    part, allowMissingColumns=True
+                )
+            return df
+
+        old = read_pairs(a - b)
+        new = read_pairs(b - a)
+
+        def align(x: DataFrame, y: DataFrame) -> DataFrame:
+            ytypes = dict(y.dtypes)
+            for m in set(y.columns) - set(x.columns):
+                x = x.withColumn(m, F.lit(None).cast(ytypes[m]))
+            return x.select(*sorted(set(x.columns) | set(y.columns)))
+
+        out = None
+        if new is not None:
+            ins = new if old is None else align(new, old).exceptAll(
+                align(old, new)
+            )
+            out = ins.withColumn("_change_type", F.lit("insert"))
+        if old is not None:
+            dels = old if new is None else align(old, new).exceptAll(
+                align(new, old)
+            )
+            dels = dels.withColumn("_change_type", F.lit("delete"))
+            out = dels if out is None else out.unionByName(dels)
+        return out
+
     # -- snapshot expiry + orphan GC -------------------------------------------
     def expired_snapshot_ids(self) -> set[int]:
         p = os.path.join(self.manifest_dir, "_expired.json")

@@ -131,6 +131,46 @@ def test_expire_keeps_dirs_carried_by_reference(spark, tmp_path):
     assert _ids(cur) == set(range(2, 60))
 
 
+def test_changelog_append_only_is_inserts(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.append(_mk(spark, 0, 40), {"b": 1}, partition_by=["bucket_id"])
+    s1 = t.current_snapshot_id()
+    t.append(_mk(spark, 40, 60), {"b": 2}, partition_by=["bucket_id"])
+    cl = t.read_changelog(spark, since=s1)
+    assert {r["_change_type"] for r in cl.select("_change_type").distinct().collect()} == {"insert"}
+    assert _ids(cl) == set(range(40, 60))
+    # compaction-only window -> no logical change
+    t.compact(spark, partition_by=["bucket_id"])
+    assert t.read_changelog(spark, since=t.current_snapshot_id() - 1) is None
+
+
+def test_changelog_delete_emits_deletes(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.append(_mk(spark, 0, 60), {"b": 1}, partition_by=["bucket_id"])
+    s1 = t.current_snapshot_id()
+    vb = sorted({r["bucket_id"] for r in _mk(spark, 0, 3).collect()})
+    t.delete_where(spark, F.col("id") < 3, partition_values=vb)
+    cl = t.read_changelog(spark, since=s1)
+    rows = {(r["id"], r["_change_type"]) for r in cl.collect()}
+    assert rows == {(0, "delete"), (1, "delete"), (2, "delete")}
+
+
+def test_changelog_merge_is_delete_plus_insert(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.append(_mk(spark, 0, 60), {"b": 1}, partition_by=["bucket_id"])
+    s1 = t.current_snapshot_id()
+    ups = _mk(spark, 5, 7).withColumn("val", F.lit(-1).cast("long"))
+    new = _mk(spark, 100, 101)
+    t.merge_upsert(spark, ups.unionByName(new), key_col="id")
+    cl = t.read_changelog(spark, since=s1)
+    rows = {(r["id"], r["val"], r["_change_type"]) for r in cl.collect()}
+    assert (5, -1, "insert") in rows and (5, 35, "delete") in rows
+    assert (6, -1, "insert") in rows and (6, 42, "delete") in rows
+    assert (100, 700, "insert") in rows
+    # untouched rows never appear in the delta
+    assert not {r for r in rows if r[0] not in (5, 6, 100)}
+
+
 def test_schema_evolution_add_column_on_read(spark, tmp_path):
     t = SnapshotTable(str(tmp_path / "t"))
     t.append(_mk(spark, 0, 30), {"batch": 1}, partition_by=["bucket_id"])
