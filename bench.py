@@ -58,6 +58,9 @@ HEADLINE = [
     "downsample_lang",
     "sample_stratified",
     "shard_packing",
+    "dsir_importance",
+    "domain_quota",
+    "temperature_rebalance",
 ]
 
 # Scaling corpus: large enough that compute dominates per-job fixed

@@ -15,6 +15,7 @@ from curator_spark.queries import (
     advancedq,
     dedupq,
     gopherq,
+    mixq,
     pipelineq,
     relationalq,
     simq,
@@ -23,7 +24,8 @@ from curator_spark.queries import (
 )
 
 _MODULES = (
-    textq, gopherq, dedupq, simq, relationalq, advancedq, pipelineq, trainprepq
+    textq, gopherq, dedupq, simq, relationalq, advancedq, pipelineq,
+    trainprepq, mixq,
 )
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
