@@ -58,6 +58,7 @@ HEADLINE = [
     "downsample_lang",
     "sample_stratified",
     "shard_packing",
+    "ccnet_ppl_buckets",
     "dsir_importance",
     "domain_quota",
     "temperature_rebalance",

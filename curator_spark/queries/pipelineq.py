@@ -46,6 +46,45 @@ def q_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.round("perplexity", 6).alias("perplexity"))
 
 
+def q_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split (Wenzek et al. 2020,
+    arXiv:1911.00359 §4.3): per predicted language, docs are bucketed
+    by LM perplexity into terciles — `head` (lowest-ppl third) is the
+    high-quality slice a pretraining mix samples preferentially.
+
+    Scale shape: the exact tercile thresholds ride the scored stream
+    as unbounded-frame window aggregates over lang_pred, so the model
+    UDF runs ONCE and the data shuffles once (a separate
+    groupBy-thresholds branch re-ran the whole Arrow scoring stage —
+    Spark does not share subplans across join branches — measured 7.3s
+    vs 3.4s at sf0.1). A mega-language single-tasks its window
+    partition at corpus scale; CCNet's own answer applies there too:
+    compute thresholds from a sample (or percentile_approx) and
+    broadcast them, leaving the corpus stream shuffle-free.
+    Rows-only by design (model UDF); golden parity vs the shared-core
+    Python oracle in tests/test_mixq.py (same float64 scoring path,
+    same linear-interpolation percentile formula)."""
+    from pyspark.sql import Window
+
+    d = spread(t(spark, sf_dir, "documents"), spark)
+    d = with_langid(d, CFG, "text")
+    d = with_perplexity(d, "text").select("doc_id", "lang_pred", "perplexity")
+    by_lang = Window.partitionBy("lang_pred")
+    q1 = F.expr("percentile(perplexity, 1.0D/3.0D)").over(by_lang)
+    q2 = F.expr("percentile(perplexity, 2.0D/3.0D)").over(by_lang)
+    bucket = (
+        F.when(F.col("perplexity") <= q1, F.lit("head"))
+        .when(F.col("perplexity") <= q2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return d.select(
+        "doc_id",
+        "lang_pred",
+        F.round("perplexity", 6).alias("perplexity"),
+        bucket.alias("ppl_bucket"),
+    )
+
+
 def q_quality_full_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents").withColumnRenamed("lang", "lang_claim")
     # single-file local input -> fan out so the Arrow UDF stages use all cores
@@ -104,6 +143,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "langid_docs": q_langid_docs,
     "perplexity_docs": q_perplexity_docs,
+    "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
     "quality_full_docs": q_quality_full_docs,
     "dedup_simhash": q_dedup_simhash,
 }

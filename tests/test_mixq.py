@@ -65,6 +65,42 @@ def test_dsir_importance_shape(spark):
     assert out["selected"].sum() == n_keep
 
 
+def test_ccnet_ppl_buckets_golden(spark):
+    """Rows-only query: head/middle/tail assignment matches an
+    independent pandas recomputation — shared float64 scoring core,
+    numpy linear-interpolation percentile (the same formula as Spark's
+    exact `percentile`), so buckets must agree exactly."""
+    import numpy as np
+
+    from curator_spark.config import DEFAULT_CONFIG as CFG
+    from curator_spark.functions import vectorized as V
+    from curator_spark.queries.pipelineq import q_ccnet_ppl_buckets
+
+    out = q_ccnet_ppl_buckets(spark, SF_DIR).toPandas()
+    d = _docs().sort_values("doc_id").reset_index(drop=True)
+    tl = d["text"].fillna("").tolist()
+    pred_idx, _ = V.langid_scores(tl, CFG.langs)
+    langs_arr = np.array(CFG.langs, dtype=object)
+    d["lang_pred"] = np.where(
+        pred_idx >= 0, langs_arr[np.maximum(pred_idx, 0)], "und"
+    )
+    d["ppl"] = V.perplexities(tl)
+    want = {}
+    for lang, grp in d.groupby("lang_pred"):
+        q1 = np.percentile(grp["ppl"], 100 / 3, method="linear")
+        q2 = np.percentile(grp["ppl"], 200 / 3, method="linear")
+        for _, r in grp.iterrows():
+            want[r["doc_id"]] = (
+                "head" if r["ppl"] <= q1
+                else "middle" if r["ppl"] <= q2 else "tail"
+            )
+    got = dict(zip(out["doc_id"], out["ppl_bucket"]))
+    assert got == want
+    # every language splits into three non-empty buckets
+    sizes = out.groupby(["lang_pred", "ppl_bucket"]).size().unstack(fill_value=0)
+    assert (sizes > 0).all().all()
+
+
 def test_temperature_rebalance_targets(spark):
     """Per-language kept counts equal the temperature formula computed
     independently in Python: target_l = min(floor(T * sqrt(c_l)/Z), c_l),
