@@ -38,6 +38,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "boilerplate_segments",
+    "substring_dup_spans",
     "gopher_repetition",
     "c4_line_filter",
     "semdedup_prune",

@@ -586,6 +586,82 @@ GROUP BY s.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# substring_dup_spans — ExactSubstr-style duplicated-span measurement
+# (Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+# Better", arXiv:2107.06499): a character window duplicated VERBATIM in
+# any other document marks a duplicated span, catching copy-paste
+# duplication that word/segment units miss (not aligned to word or
+# paragraph boundaries). The paper's suffix array finds every maximal
+# duplicate; the distributed restatement samples overlapping
+# SUB_GRAM-char windows every SUB_STRIDE chars — any duplicate run
+# >= SUB_GRAM + SUB_STRIDE - 1 chars is guaranteed to contain a
+# sampled window, so recall is exact above that span length. Windows
+# travel as md5 hashes (fixed 32-byte keys), so the dup-count shuffle
+# is narrow regardless of window width. One shuffle to count distinct
+# docs per window hash, one to join the flags back (AQE broadcasts the
+# dup set when small). Per-doc output: fraction of sampled windows
+# that are cross-doc duplicates.
+# ---------------------------------------------------------------------------
+
+SUB_GRAM = 40    # window width (chars)
+SUB_STRIDE = 20  # sampling stride (chars)
+
+
+def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(t(spark, sf_dir, "documents"), spark)
+    # substring's (pos, len) must be column-valued inside the lambda,
+    # so the window array is built as a SQL expr
+    wins = F.when(
+        F.length("text") >= SUB_GRAM,
+        F.expr(
+            f"transform(sequence(1, CAST(floor((length(text) - {SUB_GRAM})"
+            f" / {float(SUB_STRIDE)}) AS INT) + 1),"
+            f" i -> md5(CAST(substring(text, (i-1)*{SUB_STRIDE}+1,"
+            f" {SUB_GRAM}) AS BINARY)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = d.select("doc_id", F.explode(wins).alias("h"))
+    dup = (
+        grams.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h", F.lit(1).alias("is_dup"))
+    )
+    n_dup = F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
+    return (
+        grams.join(dup, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_windows"),
+            n_dup.cast("long").alias("n_dup"),
+            F.round(n_dup / F.count("*"), 6).alias("dup_frac"),
+        )
+    )
+
+
+SQL_SUBSTRING_DUP_SPANS = f"""
+WITH grams AS (
+  SELECT doc_id,
+    md5(substr(text, (i-1)*{SUB_STRIDE}+1, {SUB_GRAM})) AS h
+  FROM documents,
+    unnest(range(1, CAST(floor((length(text) - {SUB_GRAM})
+      / {float(SUB_STRIDE)}) AS INT) + 2)) AS t(i)
+  WHERE length(text) >= {SUB_GRAM}
+),
+dup AS (
+  SELECT h FROM grams GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+)
+SELECT g.doc_id,
+  COUNT(*)::BIGINT AS n_windows,
+  SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+  round(SUM(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+        / COUNT(*), 6) AS dup_frac
+FROM grams g LEFT JOIN dup d USING (h)
+GROUP BY g.doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_keep_list": q_dedup_keep_list,
@@ -596,6 +672,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "boilerplate_segments": q_boilerplate_segments,
     "boilerplate_scrub": q_boilerplate_scrub,
+    "substring_dup_spans": q_substring_dup_spans,
 }
 
 ORACLES = {
@@ -608,4 +685,5 @@ ORACLES = {
     "dedup_keep_list": _sql_keep_list(),
     "boilerplate_segments": SQL_BOILERPLATE,
     "boilerplate_scrub": SQL_BOILERPLATE_SCRUB,
+    "substring_dup_spans": SQL_SUBSTRING_DUP_SPANS,
 }
