@@ -76,12 +76,27 @@ def duckdb_run(sql: str, sf_dir: str) -> pd.DataFrame:
     return con.execute(sql).df()
 
 
-def compare_query(spark, name: str, sf_dir: str) -> CompareResult:
-    from curator_spark.queries import ORACLES, QUERIES
+def _oracle_for(name: str, sf_dir: str) -> str | None:
+    """Resolve the oracle SQL for a query at a given sf-dir. Pinned
+    golden oracles (model-scored queries) are per-sf-dir VALUES
+    tables; everything else is one sf-independent SQL string."""
+    import os
 
-    sdf = QUERIES[name](spark, sf_dir)
+    from curator_spark.queries import ORACLES
+    from curator_spark.queries.pipelineq import PINNED
+
+    by_sf = PINNED.get(name)
+    if by_sf is not None:
+        return by_sf.get(os.path.basename(sf_dir.rstrip("/")))
+    return ORACLES.get(name)
+
+
+def compare_query(spark, name: str, sf_dir: str) -> CompareResult:
+    from curator_spark.queries import ALL_QUERIES
+
+    sdf = ALL_QUERIES[name](spark, sf_dir)
     spdf = sdf.toPandas()
-    sql = ORACLES.get(name)
+    sql = _oracle_for(name, sf_dir)
     if sql is None:
         return CompareResult(name, len(spdf), None, None, None, "rows-only")
     odf = duckdb_run(sql, sf_dir)

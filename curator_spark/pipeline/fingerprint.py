@@ -3,14 +3,23 @@
 Reference semantics (reference: llm/llm.py:147-172 + proven in
 tests/unittests/test_caching.py:12-96): fingerprint = hash(dataset
 fingerprint, prompt-fn source, model, params); same fingerprint ⇒ whole
-run is a cache hit. Ours: hash(input identity, config JSON, code
-version). Code-hash granularity is per-release (documented SURVEY §7.3)
-— the reference hashes the dill-pickled closure instead.
+run is a cache hit, and editing a NESTED closure invalidates
+(test_caching.py:76-96, via dill-pickling the function). Ours:
+hash(input identity, config JSON, stage-code hash). The stage-code
+hash covers the source text of every pipeline stage function AND the
+model/helper modules they call into (vectorized scoring cores, text
+stats), so editing any stage or nested helper invalidates the cache
+while config-identical reruns still hit it. Granularity is
+per-stage-function + per-helper-module (slightly coarser than the
+reference's pickled closure — an unrelated edit inside
+functions/vectorized.py also invalidates — which only ever
+over-invalidates, never serves stale output).
 """
 
 from __future__ import annotations
 
 import hashlib
+import inspect
 import os
 
 from curator_spark.config import QualityConfig
@@ -28,9 +37,46 @@ def input_identity(path: str) -> str:
     return ";".join(sorted(entries))
 
 
-def run_fingerprint(input_path: str, cfg: QualityConfig) -> str:
+def _default_stage_objs() -> list:
+    """Everything whose source defines the pipeline's semantics: the
+    stage entry functions, plus the helper modules holding the code
+    those stages close over (model scoring cores, text statistics,
+    scrub regexes, the decision rule)."""
+    from curator_spark.functions import scrub_core, textstats, vectorized
+    from curator_spark.stages import (
+        decide, extract, langid, perplexity, rules, score, scrub,
+    )
+
+    return [
+        extract.with_extracted_text,
+        rules.with_rule_stats,
+        rules.with_rule_flags,
+        score.with_scores,
+        langid.with_langid,
+        perplexity.with_perplexity,
+        decide.with_decision,
+        scrub.with_scrub,
+        vectorized,
+        textstats,
+        scrub_core,
+    ]
+
+
+def stage_code_hash(objs: list | None = None) -> str:
+    h = hashlib.sha256()
+    for obj in objs if objs is not None else _default_stage_objs():
+        h.update(inspect.getsource(obj).encode())
+        h.update(b"\x00")
+    return h.hexdigest()[:16]
+
+
+def run_fingerprint(
+    input_path: str, cfg: QualityConfig, code_hash: str | None = None
+) -> str:
     h = hashlib.sha256()
     h.update(input_identity(input_path).encode())
     h.update(b"\x00")
     h.update(cfg.stable_json().encode())
+    h.update(b"\x00")
+    h.update((code_hash if code_hash is not None else stage_code_hash()).encode())
     return h.hexdigest()[:16]

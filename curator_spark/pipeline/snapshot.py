@@ -65,13 +65,38 @@ class SnapshotTable:
         `as_of` reads the table AS OF that snapshot id (Iceberg
         `VERSION AS OF` time travel): only commits <= as_of exist, and
         only their `replaces` edges apply — a later compaction or
-        delete does not hide data from a historical read."""
+        delete does not hide data from a historical read.
+
+        Expiry guard: a historical view is only served when it is
+        REPRODUCIBLE. `as_of` is rejected if (a) as_of itself was
+        expired, or (b) any expired snapshot e <= as_of is not covered
+        by a retained `replaces` edge from a commit <= as_of — such an
+        `e` was still active in the as_of view and its data is gone,
+        so serving the remaining commits would be a silently-partial
+        historical view (the failure ADVICE r1 flagged). Iceberg never
+        hits this because expire_snapshots keeps files referenced by
+        retained snapshots; our tombstone list makes the same case an
+        explicit error instead. The check can over-reject along
+        expired replace-chains (the covering edge itself expired) —
+        erring toward an explicit error, never a wrong view."""
         all_ = self.commits()
         if as_of is not None:
-            if as_of in self.expired_snapshot_ids():
+            expired = self.expired_snapshot_ids()
+            if as_of in expired:
                 raise ValueError(
                     f"snapshot {as_of} has been expired "
                     "(expire_snapshots); cannot time travel to it"
+                )
+            covered: set[int] = set()
+            for c in all_:
+                if c["snapshot_id"] <= as_of:
+                    covered.update(int(s) for s in c.get("replaces", []))
+            lost = {e for e in expired if e <= as_of} - covered
+            if lost:
+                raise ValueError(
+                    f"time travel to snapshot {as_of} is not "
+                    f"reproducible: snapshots {sorted(lost)} were part "
+                    "of that view but have been expired"
                 )
             all_ = [c for c in all_ if c["snapshot_id"] <= as_of]
         replaced: set[int] = set()
@@ -245,7 +270,13 @@ class SnapshotTable:
                 part_df = spark.read.option("basePath", base).parquet(*dirs)
                 df = part_df if df is None else df.unionByName(part_df)
             before = df.count()
-            kept = df.filter(~condition)
+            # SQL DELETE semantics: rows where the condition is NULL
+            # are KEPT (a bare ~condition would drop them — e.g. a
+            # NULL-url row in an affected bucket when deleting by url
+            # list; ADVICE r1).
+            from pyspark.sql import functions as F
+
+            kept = df.filter(~F.coalesce(condition, F.lit(False)))
             writer = kept.write.mode("overwrite")
             if wanted is not None:
                 writer = writer.partitionBy(partition_col)
@@ -453,6 +484,28 @@ class SnapshotTable:
         existed are inferred: a `replaces` edge meant compaction."""
         return c.get("op") or ("replace" if c.get("replaces") else "append")
 
+    def _check_window(self, since: int, as_of: int) -> None:
+        """Incremental/changelog windows must be built from snapshots
+        that still exist. After compact+expire, an appended-then-
+        compacted-then-expired snapshot would silently vanish from the
+        window (ADVICE r1: read_incremental(since=0) returned None
+        after all appends were compacted away; a compacted-then-expired
+        delete disappeared from read_changelog). Iceberg raises
+        'cannot find snapshot' here; so do we."""
+        expired = self.expired_snapshot_ids()
+        if since != 0 and since in expired:
+            raise ValueError(
+                f"cannot find snapshot {since} (expired); incremental "
+                "reads must start from a retained snapshot"
+            )
+        lost = {e for e in expired if since < e <= as_of}
+        if lost:
+            raise ValueError(
+                f"incremental window ({since}, {as_of}] crosses expired "
+                f"snapshots {sorted(lost)}; their changes are no longer "
+                "reconstructable — read a full snapshot instead"
+            )
+
     def read_incremental(
         self,
         spark: SparkSession,
@@ -478,6 +531,7 @@ class SnapshotTable:
         """
         if as_of is None:
             as_of = self.current_snapshot_id()
+        self._check_window(since, as_of)
         window = [
             c for c in self.commits() if since < c["snapshot_id"] <= as_of
         ]
@@ -526,6 +580,7 @@ class SnapshotTable:
 
         if as_of is None:
             as_of = self.current_snapshot_id()
+        self._check_window(since, as_of)
         window_ops = {
             self.op_of(c) for c in self.commits()
             if since < c["snapshot_id"] <= as_of
@@ -598,7 +653,9 @@ class SnapshotTable:
         with open(p) as fh:
             return set(json.load(fh))
 
-    def expire_snapshots(self, retain_last: int = 1) -> dict[str, Any]:
+    def expire_snapshots(
+        self, retain_last: int = 1, orphan_grace_seconds: float = 86400.0
+    ) -> dict[str, Any]:
         """Expire replaced (historical) snapshots and physically delete
         data directories no retained manifest references — the Iceberg
         `expire_snapshots` + `remove_orphan_files` analog. Time travel
@@ -616,19 +673,39 @@ class SnapshotTable:
         counting — not age — decides physical deletion). GC runs at
         both whole-stage-dir and partition-subdir granularity.
 
+        Orphan-GC safety (ADVICE r1): the resume model deliberately
+        writes data dirs BEFORE their manifest commit, so an
+        unreferenced directory may be a concurrent (or crashed,
+        about-to-resume) writer's in-flight stage dir, not garbage.
+        Directories that were referenced by a manifest expired IN THIS
+        CALL are known historical data and deleted immediately; a
+        never-referenced directory is deleted only when its mtime is
+        older than `orphan_grace_seconds` (Iceberg's
+        remove_orphan_files uses the same age-threshold rule).
+
         Returns {"expired": [...ids], "deleted_dirs": n}.
         """
         import shutil
+        import time
 
         current = self.current_snapshot_id()
         active = {c["snapshot_id"] for c in self.active_commits()}
         cutoff = current - retain_last + 1
+        all_commits = self.commits()
         expired = [
-            c["snapshot_id"] for c in self.commits()
+            c["snapshot_id"] for c in all_commits
             if c["snapshot_id"] not in active and c["snapshot_id"] < cutoff
         ]
         if not expired:
             return {"expired": [], "deleted_dirs": 0}
+        # capture what the dying manifests referenced BEFORE removal:
+        # those paths are known-historical, not in-flight stage dirs
+        expired_refs = {
+            os.path.normpath(p)
+            for c in all_commits
+            if c["snapshot_id"] in set(expired)
+            for p, _ in self._parts(c)
+        }
         for sid in expired:
             os.remove(os.path.join(self.manifest_dir, f"v{sid:06d}.json"))
         tomb = self.expired_snapshot_ids() | set(expired)
@@ -648,20 +725,42 @@ class SnapshotTable:
             d = os.path.normpath(d)
             return any(r == d or r.startswith(d + os.sep) for r in refs)
 
+        def known_historical(d: str) -> bool:
+            d = os.path.normpath(d)
+            return any(
+                r == d or r.startswith(d + os.sep) or d.startswith(r + os.sep)
+                for r in expired_refs
+            )
+
+        now = time.time()
+
+        def removable(d: str) -> bool:
+            if known_historical(d):
+                return True
+            try:
+                return (now - os.path.getmtime(d)) > orphan_grace_seconds
+            except OSError:
+                return False
+
         deleted = 0
         for top in sorted(os.listdir(self.data_dir)):
             top_path = os.path.join(self.data_dir, top)
             if not os.path.isdir(top_path):
                 continue
             if not referenced(top_path):
-                shutil.rmtree(top_path)
-                deleted += 1
+                if removable(top_path):
+                    shutil.rmtree(top_path)
+                    deleted += 1
                 continue
             if os.path.normpath(top_path) in refs:
                 continue  # whole dir referenced; keep all subdirs
             for sub in sorted(os.listdir(top_path)):
                 sub_path = os.path.join(top_path, sub)
-                if os.path.isdir(sub_path) and not referenced(sub_path):
+                if (
+                    os.path.isdir(sub_path)
+                    and not referenced(sub_path)
+                    and removable(sub_path)
+                ):
                     shutil.rmtree(sub_path)
                     deleted += 1
         return {"expired": sorted(expired), "deleted_dirs": deleted}

@@ -77,11 +77,34 @@ def q_ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("perplexity") <= q2, F.lit("middle"))
         .otherwise(F.lit("tail"))
     )
+    # ppl_milli (= round(perplexity*1000) as BIGINT) instead of a float
+    # column: integer outputs hash identically across engines, which
+    # lets the driver verify this model query against the PINNED
+    # golden oracle (see _pinned.py) with no float-repr fragility.
     return d.select(
         "doc_id",
         "lang_pred",
-        F.round("perplexity", 6).alias("perplexity"),
+        F.round(F.col("perplexity") * 1000, 0).cast("long").alias("ppl_milli"),
         bucket.alias("ppl_bucket"),
+    )
+
+
+def q_model_scores_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-level driver verification for the M2 vectorized model
+    stages (VERDICT r1 item 9): PER-DOC langid prediction and integer
+    (micro-rounded) langid score, hash-verified against a pinned
+    golden oracle (a VALUES table in queries/_pinned.py, regenerated
+    by `python tools/pin_oracles.py` whenever the model code or the
+    driver fixtures change). Integer outputs make the hash bit-stable
+    under any partitioning / engine float-repr. Together with
+    ccnet_ppl_buckets' pinned per-doc ppl_milli this gives both model
+    stages full per-row driver verification."""
+    d = spread(t(spark, sf_dir, "documents"), spark)
+    d = with_langid(d, CFG, "text")
+    return d.select(
+        "doc_id",
+        "lang_pred",
+        F.round(F.col("lang_score") * 1e6, 0).cast("long").alias("score_micro"),
     )
 
 
@@ -143,12 +166,17 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "langid_docs": q_langid_docs,
     "perplexity_docs": q_perplexity_docs,
+    "model_scores_pinned": q_model_scores_pinned,
     "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
     "quality_full_docs": q_quality_full_docs,
     "dedup_simhash": q_dedup_simhash,
 }
 
 # langid/perplexity/quality_full: rows-only by design (model UDFs).
+# model_scores_pinned / ccnet_ppl_buckets: hash-verified against PINNED
+# golden VALUES oracles computed once from this repo's own model code
+# on the driver's fixed sf-dirs (tools/pin_oracles.py) — the reference's
+# golden-fixture strategy (SURVEY §5.1) applied at the driver gate.
 # dedup_simhash: bit-exact SQL restatement — per distinct word, the
 # first 8 md5 bytes big-endian are the 64-bit feature hash (identical
 # hex in both engines); per bit, the +1/-1 vote sum's sign sets the
@@ -184,3 +212,16 @@ SELECT d.doc_id, COALESCE(p.simhash, 0) AS simhash
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """,
 }
+
+# Pinned golden oracles (generated by tools/pin_oracles.py). Keyed by
+# sf-dir basename; the driver's contract runs at sf0.01, so that
+# variant is exported through ORACLES. The in-repo pytest gate (which
+# runs at sf0.001) resolves its variant via oracle/compare.py.
+try:
+    from curator_spark.queries._pinned import PINNED
+except ImportError:  # pragma: no cover - before first generation
+    PINNED = {}
+
+for _name, _by_sf in PINNED.items():
+    if "sf0.01" in _by_sf:
+        ORACLES[_name] = _by_sf["sf0.01"]

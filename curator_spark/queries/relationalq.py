@@ -131,9 +131,12 @@ GROUP BY o_orderstatus
 # ---------------------------------------------------------------------------
 
 def q_users_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # `users` is emitted as a comma-joined scalar (not array<string>):
+    # the driver's oracle canonicalizer sorts/hashes column values and
+    # cannot handle list cells.
     ev = t(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.array_sort(F.collect_set("user_id")).alias("users"),
+        F.concat_ws(",", F.array_sort(F.collect_set("user_id"))).alias("users"),
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
@@ -141,7 +144,7 @@ def q_users_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_USERS_BY_EVENT_TYPE = """
 SELECT event_type,
-       list_sort(list(DISTINCT user_id)) AS users,
+       array_to_string(list_sort(list(DISTINCT user_id)), ',') AS users,
        count(*)::BIGINT AS n_events,
        round(sum(value), 2) AS sum_value
 FROM events GROUP BY event_type

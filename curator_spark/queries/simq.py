@@ -21,6 +21,8 @@ per bucket only. K (planes) tunes bucket occupancy ~ n / 2^K.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -30,6 +32,13 @@ KNN_QUERIES = 5   # vec_id < 5 are the query vectors
 KNN_K = 5
 LSH_PLANES = 8    # hyperplanes = embeddings of vec_id 0..7
 NEARDUP_COS = 0.40
+
+# Above this corpus size, embedding_neardup_pairs refuses the
+# broadcast-side-only plan and routes through LSH buckets instead
+# (monkeypatchable in tests; env-tunable for real deployments).
+NEARDUP_BROADCAST_CAP = int(
+    os.environ.get("SPARK_GRAFT_NEARDUP_BROADCAST_CAP", "500000")
+)
 
 
 def _to_double(col) -> Column:
@@ -143,31 +152,46 @@ FROM ranked WHERE rank <= {KNN_K}
 # RNG divergence between engines).
 # ---------------------------------------------------------------------------
 
+def _lsh_planes(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """The LSH_PLANES hyperplane vectors, collected once (a few KB).
+    Python floats ARE doubles, and float32 -> float64 widening is
+    exact, so the collected values equal the `_to_double` cast the
+    old crossJoin plan applied executor-side."""
+    rows = (
+        t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < LSH_PLANES)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return [
+        [float(x) for x in r["embedding"]]
+        for r in sorted(rows, key=lambda r: r["vec_id"])
+    ]
+
+
+def _lsh_bucket_expr(emb, planes: list[list[float]]) -> Column:
+    """All plane bits in ONE projection from plane-vector literals:
+    zero shuffles and zero intermediate row blowup, vs the previous
+    crossJoin(planes) + groupBy(vec_id) re-assembly that exchanged the
+    corpus with LSH_PLANES x intermediate rows (VERDICT r1 item 6).
+    Same fold (`_dot` over zip_with) over the same double values, so
+    every bit is bit-identical to the old plan and the DuckDB twin."""
+    bits = [
+        F.when(
+            _dot(emb, F.array(*[F.lit(x) for x in pvec])) > 0, F.lit("1")
+        ).otherwise(F.lit("0"))
+        for pvec in planes
+    ]
+    return F.concat(*bits)
+
+
 def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spread(t(spark, sf_dir, "embeddings"), spark).select(
         "vec_id", _to_double(F.col("embedding")).alias("emb")
     )
-    planes = e.where(F.col("vec_id") < LSH_PLANES).select(
-        F.col("vec_id").alias("plane_id"), F.col("emb").alias("pvec")
-    )
-    bits = e.crossJoin(F.broadcast(planes)).select(
-        "vec_id",
-        "plane_id",
-        F.when(_dot(F.col("emb"), F.col("pvec")) > 0, F.lit("1"))
-        .otherwise(F.lit("0"))
-        .alias("bit"),
-    )
-    return (
-        bits.groupBy("vec_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("plane_id", "bit"))),
-                    lambda s: s["bit"],
-                ),
-                "",
-            ).alias("bucket")
-        )
+    planes = _lsh_planes(spark, sf_dir)
+    return e.select(
+        "vec_id", _lsh_bucket_expr(F.col("emb"), planes).alias("bucket")
     )
 
 
@@ -193,15 +217,59 @@ FROM bits GROUP BY vec_id
 # ONE numpy matmul against the broadcast side (the reference's
 # load-once batched-scoring pattern, vllm_offline:41-53). A pairwise
 # expression join would evaluate interpreted higher-order functions
-# per pair (~25x slower, measured). All-pairs-vs-broadcast is the
-# right physical plan only while one side fits in memory; at 10^9
-# vectors the scale path is ann_lsh_bucket + within-bucket pairs.
+# per pair (~25x slower, measured). All-pairs-vs-broadcast is exact
+# and the right physical plan only while one side fits in memory:
+# above NEARDUP_BROADCAST_CAP rows the guard routes through LSH
+# buckets (zero-shuffle bucket projection + within-bucket grouped
+# numpy pairs) — approximate by construction (only same-bucket pairs
+# are candidates), which is the standard exactness/scale trade at
+# 10^9 vectors.
 # ---------------------------------------------------------------------------
+
+def _neardup_lsh_path(spark: SparkSession, sf_dir: str, e: DataFrame) -> DataFrame:
+    """Scale path: bucket by random-hyperplane LSH, expand pairs only
+    within buckets (sum |bucket|^2, never N^2), one shuffle on the
+    bucket key. Same float64 matmul + threshold as the exact path."""
+    planes = _lsh_planes(spark, sf_dir)
+    eb = e.select(
+        "vec_id",
+        "embedding",
+        _lsh_bucket_expr(_to_double(F.col("embedding")), planes).alias("bucket"),
+    )
+    thr = NEARDUP_COS
+
+    def pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        M = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids, M = ids[order], M[order]
+        out = {"vec_a": [], "vec_b": [], "sim": []}
+        for lo in range(0, len(M), 1024):  # column-blocked: O(n*block) mem
+            hi = min(lo + 1024, len(M))
+            S = M @ M[lo:hi].T
+            ii, jj = np.nonzero(
+                (S >= thr) & (ids[:, None] < ids[None, lo:hi])
+            )
+            out["vec_a"].extend(ids[ii])
+            out["vec_b"].extend(ids[jj + lo])
+            out["sim"].extend(np.round(S[ii, jj], 6))
+        return pd.DataFrame(out)
+
+    return eb.groupBy("bucket").applyInPandas(
+        pairs, "vec_a long, vec_b long, sim double"
+    )
+
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     e = t(spark, sf_dir, "embeddings")
+    if e.count() > NEARDUP_BROADCAST_CAP:
+        return _neardup_lsh_path(spark, sf_dir, e)
     side = e.select("vec_id", "embedding").collect()  # broadcast side only
     ids = np.array([r["vec_id"] for r in side], dtype=np.int64)
     B = np.array([r["embedding"] for r in side], dtype=np.float64)
@@ -250,20 +318,61 @@ WHERE list_cosine_similarity(a.emb, b.emb) >= {NEARDUP_COS}
 
 def _centroids(e: DataFrame) -> DataFrame:
     """Per-label mean vectors (c_label, cvec) — the IVF coarse codebook.
-    Grouped mean via posexplode + avg so the DuckDB twin does the
-    identical grouped mean; rounded to 9 so both engines agree."""
-    exploded = e.select("label", F.posexplode("emb").alias("pos", "v"))
-    return (
-        exploded.groupBy("label", "pos")
-        .agg(F.round(F.avg("v"), 9).alias("cv"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
-                lambda s: s["cv"],
-            ).alias("cvec")
+
+    Scale shape (VERDICT r1 item 10): ONE map-side partial-sum pass —
+    each partition emits one (label, partial_sum, n) row per label it
+    saw — followed by a k x n_partitions-row combine. The previous
+    posexplode+avg formulation multiplied the corpus by the vector
+    dimensionality (x64 rows) through two full shuffles; this shuffles
+    only the tiny partials. Engine parity: float64 sums differ from
+    DuckDB's grouped avg only in summation order, which the final
+    Spark-side round(·, 9) (HALF_UP, matching DuckDB round()) absorbs
+    — the exact mechanism the explode+avg version already relied on,
+    since Spark and DuckDB never summed in the same order either."""
+
+    def partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        sums: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
+            labels = pdf["label"].to_numpy()
+            for lab in np.unique(labels):
+                mask = labels == lab
+                s, n = sums.get(lab, (None, 0))
+                part = M[mask].sum(axis=0)
+                sums[lab] = (part if s is None else s + part, n + int(mask.sum()))
+        if sums:
+            yield pd.DataFrame(
+                {
+                    "label": list(sums),
+                    "psum": [list(v[0]) for v in sums.values()],
+                    "n": [v[1] for v in sums.values()],
+                }
+            )
+
+    def combine(pdf):
+        import numpy as np
+        import pandas as pd
+
+        total = np.stack(pdf["psum"].to_numpy()).astype(np.float64).sum(axis=0)
+        n = int(pdf["n"].sum())
+        return pd.DataFrame(
+            {"c_label": [int(pdf["label"].iloc[0])], "cvec": [list(total / n)]}
         )
-        .select(F.col("label").alias("c_label"), "cvec")
+
+    return (
+        e.select("label", "emb")
+        .mapInPandas(partials, "label long, psum array<double>, n long")
+        .groupBy("label")
+        .applyInPandas(combine, "c_label long, cvec array<double>")
+        .select(
+            "c_label",
+            F.transform("cvec", lambda x: F.round(x, 9)).alias("cvec"),
+        )
     )
 
 
@@ -356,8 +465,13 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("crank") <= IVF_NPROBE)
         .select("query_id", "qemb", F.col("c_label").alias("list_id"))
     )
-    # candidate generation = equi-join on list id (THE IVF payoff)
-    cand = probes.join(F.broadcast(lists), "list_id").where(
+    # candidate generation = equi-join on list id (THE IVF payoff).
+    # Broadcast the PROBES side — it is queries x nprobe rows, always
+    # tiny — never the inverted lists (the whole corpus: broadcasting
+    # it would OOM at 10^9 vectors and defeat the docstring's own
+    # "touch nprobe/nlist of the data" claim). The corpus side streams
+    # through the join with no shuffle at all.
+    cand = lists.join(F.broadcast(probes), "list_id").where(
         F.col("vec_id") != F.col("query_id")
     )
     wk = Window.partitionBy("query_id").orderBy(

@@ -379,9 +379,13 @@ def q_doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).when(m > 0, F.array(F.array_min(hs))).otherwise(
         F.array().cast("array<string>")
     )
+    # fingerprints are comma-joined into one scalar string: the
+    # driver's oracle canonicalizer cannot hash array cells.
     return d.select(
         "doc_id",
-        F.array_sort(F.array_distinct(wins)).alias("fingerprints"),
+        F.array_join(F.array_sort(F.array_distinct(wins)), ",").alias(
+            "fingerprints"
+        ),
         F.size(F.array_distinct(wins)).cast("long").alias("n_fingerprints"),
     )
 
@@ -409,7 +413,7 @@ WITH base AS (
   FROM kg
 )
 SELECT doc_id,
-       list_sort(list_distinct(wv)) AS fingerprints,
+       array_to_string(list_sort(list_distinct(wv)), ',') AS fingerprints,
        len(list_distinct(wv))::BIGINT AS n_fingerprints
 FROM wins
 """

@@ -142,3 +142,59 @@ def test_compaction_preserves_data_and_resume(spark, pages_path, cfg, tmp_path):
     assert pipe.run(spark, pages_path).cached
     # compacting a single commit is a no-op
     assert pipe.compact(spark, fp) is None
+
+
+def test_stage_code_edit_invalidates_fingerprint(tmp_path, cfg, pages_path):
+    """Closure-sensitive caching (reference: test_caching.py:76-96 —
+    editing a nested closure invalidates): a stage-code change flips
+    the run fingerprint; a config-identical, code-identical recompute
+    keeps it."""
+    import importlib
+    import sys
+    import textwrap
+
+    from curator_spark.pipeline.fingerprint import (
+        run_fingerprint,
+        stage_code_hash,
+    )
+
+    # config-identical recompute: stable
+    assert run_fingerprint(pages_path, cfg) == run_fingerprint(pages_path, cfg)
+
+    mod_file = tmp_path / "fake_stage.py"
+    mod_file.write_text(
+        textwrap.dedent(
+            """
+            def with_fake(df):
+                return df.limit(10)
+            """
+        )
+    )
+    sys.path.insert(0, str(tmp_path))
+    try:
+        import fake_stage
+
+        fp1 = run_fingerprint(
+            pages_path, cfg, stage_code_hash([fake_stage.with_fake])
+        )
+        # edit the stage function's source -> fingerprint must change
+        mod_file.write_text(
+            textwrap.dedent(
+                """
+                def with_fake(df):
+                    return df.limit(20)
+                """
+            )
+        )
+        importlib.invalidate_caches()
+        fake_stage = importlib.reload(fake_stage)
+        import linecache
+
+        linecache.clearcache()
+        fp2 = run_fingerprint(
+            pages_path, cfg, stage_code_hash([fake_stage.with_fake])
+        )
+        assert fp1 != fp2
+    finally:
+        sys.path.remove(str(tmp_path))
+        sys.modules.pop("fake_stage", None)

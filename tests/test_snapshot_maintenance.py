@@ -189,3 +189,87 @@ def test_schema_evolution_add_column_on_read(spark, tmp_path):
     df2 = t.read(spark)
     assert df2.count() == 50 and "quality" in df2.columns
     assert df2.filter(F.col("quality").isNull()).count() == 30
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r1 hardening: expiry must never yield a silently-partial view.
+# ---------------------------------------------------------------------------
+
+def test_time_travel_rejects_partial_historical_view(spark, tmp_path):
+    """append s1, append s2, delete replacing only s1's rows, expire s1:
+    as_of=s2 included s1's data (now gone) -> explicit error, never a
+    partial view; as_of=current still works."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.append(_mk(spark, 0, 40), {"b": 1}, partition_by=["bucket_id"])
+    s1 = t.current_snapshot_id()
+    t.append(_mk(spark, 40, 60), {"b": 2}, partition_by=["bucket_id"])
+    s2 = t.current_snapshot_id()
+    # rewrite ONLY s1's commit (meta-predicate pruning): s2 stays active
+    t.delete_where(spark, F.col("id") < 40, predicate=lambda m: m.get("b") == 1)
+    s3 = t.current_snapshot_id()
+    t.expire_snapshots(retain_last=1)
+    assert s1 in t.expired_snapshot_ids()
+    with pytest.raises(ValueError, match="not reproducible"):
+        t.read(spark, as_of=s2)
+    assert _ids(t.read(spark, as_of=s3)) == set(range(40, 60))
+    assert _ids(t.read(spark)) == set(range(40, 60))
+
+
+def test_incremental_read_rejects_expired_window(spark, tmp_path):
+    """appends 1,2 -> compact (3) -> expire 1,2: an incremental read
+    whose window crosses the expired appends must raise (Iceberg:
+    'cannot find snapshot'), not silently return None."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.append(_mk(spark, 0, 30), {"b": 1}, partition_by=["bucket_id"])
+    t.append(_mk(spark, 30, 50), {"b": 2}, partition_by=["bucket_id"])
+    t.compact(spark, partition_by=["bucket_id"])
+    t.expire_snapshots(retain_last=1)
+    with pytest.raises(ValueError, match="expired"):
+        t.read_incremental(spark, since=0)
+    with pytest.raises(ValueError, match="expired"):
+        t.read_changelog(spark, since=0)
+    # a window starting after the expired snapshots still works
+    assert t.read_incremental(spark, since=t.current_snapshot_id()) is None
+
+
+def test_delete_where_keeps_null_condition_rows(spark, tmp_path):
+    """SQL DELETE semantics: NULL-evaluating rows survive the delete."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [(None, 0), ("http://a", 0), ("http://b", 0)], "url string, bucket_id int"
+    )
+    t.append(df, {"b": 1}, partition_by=["bucket_id"])
+    res = t.delete_where(
+        spark, F.col("url").isin(["http://a"]), partition_values=[0]
+    )
+    assert res["deleted_rows"] == 1
+    left = {r["url"] for r in t.read(spark).collect()}
+    assert left == {None, "http://b"}
+
+
+def test_orphan_gc_spares_inflight_stage_dir(spark, tmp_path):
+    """A staged-but-uncommitted write dir (the resume model writes data
+    BEFORE the manifest commit) must survive orphan GC inside the grace
+    window, and be collected once it ages out."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.append(_mk(spark, 0, 20), {"b": 1}, partition_by=["bucket_id"])
+    t.append(_mk(spark, 20, 30), {"b": 2}, partition_by=["bucket_id"])
+    t.compact(spark, partition_by=["bucket_id"])
+
+    inflight = t.stage_dir()
+    os.makedirs(inflight)
+    with open(os.path.join(inflight, "part-0.parquet"), "wb") as fh:
+        fh.write(b"stub")
+
+    res = t.expire_snapshots(retain_last=1)
+    assert res["expired"]  # the replaced appends expired...
+    assert os.path.isdir(inflight)  # ...but the in-flight dir survived
+
+    # age the dir past the grace window -> collected on the next run
+    old = 0  # epoch
+    os.utime(inflight, (old, old))
+    t.append(_mk(spark, 30, 40), {"b": 3}, partition_by=["bucket_id"])
+    t.append(_mk(spark, 40, 50), {"b": 4}, partition_by=["bucket_id"])
+    t.compact(spark, partition_by=["bucket_id"])
+    t.expire_snapshots(retain_last=1)
+    assert not os.path.isdir(inflight)
