@@ -2,21 +2,51 @@
 
 First failing check wins (config.DROP_REASON_ORDER); the oracle applies
 the identical order so labels agree exactly.
+
+Per-row parameter overrides (the reference's per-row
+`generation_params` column, reference:
+llm/prompt_formatter.py:118-127, merged row-over-run): if the input
+carries a `row_params` map<string,string> column, these keys override
+the run-level config FOR THAT ROW:
+
+- ``max_perplexity``    (double)  per-row perplexity ceiling
+- ``target_lang``       (string)  per-row accepted language
+- ``langid_min_score``  (double)  per-row langid confidence floor
+- ``force_keep``        ("true")  bypass every check for the row
+
+Missing keys (or a missing column) fall back to the config — the
+default path plans the identical expressions as before, so all oracle
+parity is unaffected. Everything stays a native CASE chain: the
+override is one `element_at(map, key)` + `coalesce` per knob, no UDF,
+no shuffle.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from curator_spark.config import QualityConfig
 
 
+def _row_param(df: DataFrame, key: str, cast: str, default) -> Column:
+    if "row_params" not in df.columns:
+        return F.lit(default)
+    return F.coalesce(
+        F.element_at(F.col("row_params"), key).cast(cast), F.lit(default)
+    )
+
+
 def with_decision(df: DataFrame, cfg: QualityConfig) -> DataFrame:
     c = F.col
-    fail_ppl = c("perplexity") > cfg.max_perplexity
-    fail_lang = (c("lang_pred") != cfg.target_lang) | (
-        c("lang_score") < cfg.langid_min_score
+    max_ppl = _row_param(df, "max_perplexity", "double", cfg.max_perplexity)
+    target_lang = _row_param(df, "target_lang", "string", cfg.target_lang)
+    min_score = _row_param(
+        df, "langid_min_score", "double", cfg.langid_min_score
+    )
+    fail_ppl = c("perplexity") > max_ppl
+    fail_lang = (c("lang_pred") != target_lang) | (
+        c("lang_score") < min_score
     )
     reason = (
         F.when(fail_ppl, F.lit("perplexity"))
@@ -28,6 +58,10 @@ def with_decision(df: DataFrame, cfg: QualityConfig) -> DataFrame:
         .when(c("fail_rule_stopword_density"), F.lit("rule:stopword_density"))
         .otherwise(F.lit(None).cast("string"))
     )
+    if "row_params" in df.columns:
+        reason = F.when(
+            _row_param(df, "force_keep", "boolean", False), F.lit(None).cast("string")
+        ).otherwise(reason)
     return df.withColumn("drop_reason", reason).withColumn(
         "keep", c("drop_reason").isNull()
     )
