@@ -16,12 +16,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from curator_spark.queries import ORACLES, QUERIES
+from curator_spark.queries import ALL_QUERIES, ORACLES, QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query: full quality pipeline on /root/testdata/sf0.001."""
-    return QUERIES["quality_full_docs"](spark, "/root/testdata/sf0.001")
+    """Flagship query: full quality pipeline on /root/testdata/sf0.001
+    (full-payload variant — keeps the scrubbed text string; the
+    driver-measured `quality_full_docs` twin re-emits the same
+    pipeline as pinned hash-verified scalars)."""
+    return ALL_QUERIES["quality_full_text"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

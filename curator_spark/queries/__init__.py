@@ -113,6 +113,7 @@ MEASURED = [
 ]
 
 EXTRA = [
+    "quality_full_text",
     "langid_docs",
     "perplexity_docs",
     "lang_distribution",

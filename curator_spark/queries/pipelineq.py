@@ -108,7 +108,12 @@ def q_model_scores_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_quality_full_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_quality_full_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-payload flagship variant (scrubbed_text as the actual
+    string) — what `__spark_entry__.entry()` returns and what a user
+    consumes downstream. Rows-only at the driver gate (free-text
+    float/string payload); the MEASURED twin `quality_full_docs`
+    below re-emits the same pipeline as pinned-verifiable scalars."""
     d = t(spark, sf_dir, "documents").withColumnRenamed("lang", "lang_claim")
     # single-file local input -> fan out so the Arrow UDF stages use all cores
     d = spread(d, spark)
@@ -124,11 +129,45 @@ def q_quality_full_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_full_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship pipeline (langid + perplexity + rules + scrub +
+    decision) re-emitted as pure scalars so the driver can hash-verify
+    it against a PINNED golden oracle (VERDICT r2 ask #2): integer
+    micro/milli-rounded model scores, keep as int, and md5 of the
+    scrubbed text (pins the exact output bytes per doc — the north
+    rule's "byte-identical scrubbed text" check, without embedding
+    free text in the VALUES table). Dropped rows emit NULL scrub_md5
+    (no scrubbed payload is produced for them)."""
+    d = t(spark, sf_dir, "documents").withColumnRenamed("lang", "lang_claim")
+    d = spread(d, spark)
+    scored = quality_plan(d, CFG, text_col="text")
+    return scored.select(
+        "doc_id",
+        "lang_pred",
+        F.round(F.col("lang_score") * 1e6, 0).cast("long").alias("score_micro"),
+        F.round(F.col("perplexity") * 1000, 0).cast("long").alias("ppl_milli"),
+        F.col("keep").cast("int").alias("keep"),
+        "drop_reason",
+        F.md5("scrubbed_text").alias("scrub_md5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # simhash — 64-bit SimHash over word features, Arrow-vectorized.
 # ---------------------------------------------------------------------------
 
 def _simhash_batch(texts: pd.Series) -> pd.Series:
+    """Batch-vectorized 64-bit SimHash (VERDICT r2 ask #3 — no per-row
+    Python loop). Per Arrow batch: tokenize all rows, dedupe to the
+    batch-global UNIQUE word set (web docs share most of their
+    vocabulary, so this collapses the md5 count by ~10-100x), md5 each
+    unique word ONCE, unpack its 64 feature bits into a ±1 vote row,
+    then scatter-add votes to (row, bit) with np.add.at. The only
+    remaining Python-level iteration is one md5 call per unique word —
+    the hash function itself, not a per-row loop. Bit-exact with the
+    previous per-row implementation (same tokenizer, same md5 prefix,
+    same sign rule), pinned by the DuckDB oracle below and
+    tests/test_simhash_vectorized.py."""
     import hashlib
     import re
 
@@ -136,20 +175,47 @@ def _simhash_batch(texts: pd.Series) -> pd.Series:
     # non-empty — functions/textstats.words and SQL_WORDS), so Python,
     # Spark and the DuckDB oracle agree by construction
     ws = re.compile(r"[ \t\n\r\f\v]+")
-    out = np.zeros(len(texts), dtype=np.int64)
+    n = len(texts)
+    out = np.zeros(n, dtype=np.int64)
+    # (row_idx, word) pairs over per-row DISTINCT words
+    row_idx: list[int] = []
+    flat_words: list[str] = []
     for i, txt in enumerate(texts.fillna("")):
-        acc = np.zeros(64, dtype=np.int64)
-        for w in set(ws.split(txt)) - {""}:
-            h = np.uint64(
-                int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:8], "big")
-            )
-            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            acc += np.where(bits == 1, 1, -1)
-        bitsign = (acc > 0).astype(np.uint64)
-        val = 0
-        for b in range(64):
-            val |= int(bitsign[b]) << b
-        out[i] = np.int64(np.uint64(val).astype(np.int64))
+        wset = set(ws.split(txt))
+        wset.discard("")
+        row_idx.extend([i] * len(wset))
+        flat_words.extend(wset)
+    if not flat_words:
+        return pd.Series(out)
+    rows = np.asarray(row_idx, dtype=np.int64)
+    # batch-global unique words: md5 each ONCE
+    uniq, inv = np.unique(np.asarray(flat_words, dtype=object), return_inverse=True)
+    md5 = hashlib.md5
+    hashes = np.fromiter(
+        (
+            int.from_bytes(md5(w.encode("utf-8")).digest()[:8], "big")
+            for w in uniq
+        ),
+        dtype=np.uint64,
+        count=len(uniq),
+    )
+    # (n_uniq, 64) ±1 vote matrix: bit b of hash h
+    bits = (
+        (hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+        & np.uint64(1)
+    ).astype(np.int64)
+    votes_u = 2 * bits - 1  # ±1
+    # accumulate votes per (row, bit): gather each occurrence's vote row
+    acc = np.zeros((n, 64), dtype=np.int64)
+    np.add.at(acc, rows, votes_u[inv])
+    bitsign = acc > 0
+    # fold 64 sign bits into a two's-complement BIGINT
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+    vals = (bitsign.astype(np.uint64) * weights[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
+    out = vals.astype(np.int64)
+    # zero-word rows keep simhash 0 (no votes -> all signs false)
     return pd.Series(out)
 
 
@@ -169,11 +235,14 @@ QUERIES = {
     "model_scores_pinned": q_model_scores_pinned,
     "ccnet_ppl_buckets": q_ccnet_ppl_buckets,
     "quality_full_docs": q_quality_full_docs,
+    "quality_full_text": q_quality_full_text,
     "dedup_simhash": q_dedup_simhash,
 }
 
-# langid/perplexity/quality_full: rows-only by design (model UDFs).
-# model_scores_pinned / ccnet_ppl_buckets: hash-verified against PINNED
+# langid/perplexity/quality_full_text: rows-only by design (model UDFs
+# with float/free-text payloads).
+# model_scores_pinned / ccnet_ppl_buckets / quality_full_docs:
+# hash-verified against PINNED
 # golden VALUES oracles computed once from this repo's own model code
 # on the driver's fixed sf-dirs (tools/pin_oracles.py) — the reference's
 # golden-fixture strategy (SURVEY §5.1) applied at the driver gate.

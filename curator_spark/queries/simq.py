@@ -40,6 +40,43 @@ NEARDUP_BROADCAST_CAP = int(
     os.environ.get("SPARK_GRAFT_NEARDUP_BROADCAST_CAP", "500000")
 )
 
+# Route override for embedding_neardup_pairs: "auto" (size-based),
+# "exact" (broadcast all-pairs), "lsh" (bucketed, approximate). The
+# chosen route of the last invocation is recorded in
+# LAST_NEARDUP_ROUTE for tests/telemetry (ADVICE r2: make the silent
+# exact->approximate switch observable; the DuckDB twin SQL_EMB_NEARDUP
+# is exact all-pairs and only a valid oracle on the exact route).
+NEARDUP_ROUTE = os.environ.get("SPARK_GRAFT_NEARDUP_ROUTE", "auto")
+LAST_NEARDUP_ROUTE: str | None = None
+
+
+def _parquet_row_estimate(df: DataFrame) -> int | None:
+    """Row count from parquet FOOTERS of the scan's input files — no
+    data pass (VERDICT r2 ask #5: the routing decision previously cost
+    a full count() scan per call). Footer metadata is exact for an
+    unfiltered scan and an upper bound otherwise — the safe direction
+    for a broadcast-cap guard. Returns None for non-local /
+    non-parquet inputs (a real deployment would read catalog stats or
+    Iceberg snapshot row counts the same way); callers fall back to
+    count() then."""
+    try:
+        from urllib.parse import unquote, urlparse
+
+        import pyarrow.parquet as pq
+
+        files = df.inputFiles()
+        if not files:
+            return None
+        total = 0
+        for uri in files:
+            parsed = urlparse(uri)
+            if parsed.scheme not in ("file", ""):
+                return None
+            total += pq.ParquetFile(unquote(parsed.path)).metadata.num_rows
+        return total
+    except Exception:
+        return None
+
 
 def _to_double(col) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -267,8 +304,18 @@ def _neardup_lsh_path(spark: SparkSession, sf_dir: str, e: DataFrame) -> DataFra
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
+    global LAST_NEARDUP_ROUTE
     e = t(spark, sf_dir, "embeddings")
-    if e.count() > NEARDUP_BROADCAST_CAP:
+    route = NEARDUP_ROUTE
+    if route == "auto":
+        # footer-metadata estimate first (no data pass); count() only
+        # as the fallback for sources without cheap stats
+        n = _parquet_row_estimate(e)
+        if n is None:
+            n = e.count()
+        route = "lsh" if n > NEARDUP_BROADCAST_CAP else "exact"
+    LAST_NEARDUP_ROUTE = route
+    if route == "lsh":
         return _neardup_lsh_path(spark, sf_dir, e)
     side = e.select("vec_id", "embedding").collect()  # broadcast side only
     ids = np.array([r["vec_id"] for r in side], dtype=np.int64)

@@ -161,12 +161,23 @@ def test_stage_code_edit_invalidates_fingerprint(tmp_path, cfg, pages_path):
     # config-identical recompute: stable
     assert run_fingerprint(pages_path, cfg) == run_fingerprint(pages_path, cfg)
 
+    # the default hash basis is FULL MODULES — the semantic logic of a
+    # stage lives in same-module helpers (_BODY_RE, make_*_udf, ...),
+    # not just the thin with_* wrappers (ADVICE r2)
+    import types
+
+    from curator_spark.pipeline.fingerprint import _default_stage_objs
+
+    assert all(isinstance(o, types.ModuleType) for o in _default_stage_objs())
+
     mod_file = tmp_path / "fake_stage.py"
     mod_file.write_text(
         textwrap.dedent(
             """
+            _LIMIT = 10  # nested helper the wrapper closes over
+
             def with_fake(df):
-                return df.limit(10)
+                return df.limit(_LIMIT)
             """
         )
     )
@@ -174,15 +185,16 @@ def test_stage_code_edit_invalidates_fingerprint(tmp_path, cfg, pages_path):
     try:
         import fake_stage
 
-        fp1 = run_fingerprint(
-            pages_path, cfg, stage_code_hash([fake_stage.with_fake])
-        )
-        # edit the stage function's source -> fingerprint must change
+        fp1 = run_fingerprint(pages_path, cfg, stage_code_hash([fake_stage]))
+        # edit ONLY the nested helper (the wrapper's source is
+        # unchanged) -> fingerprint must still change
         mod_file.write_text(
             textwrap.dedent(
                 """
+                _LIMIT = 20  # nested helper the wrapper closes over
+
                 def with_fake(df):
-                    return df.limit(20)
+                    return df.limit(_LIMIT)
                 """
             )
         )
@@ -191,9 +203,7 @@ def test_stage_code_edit_invalidates_fingerprint(tmp_path, cfg, pages_path):
         import linecache
 
         linecache.clearcache()
-        fp2 = run_fingerprint(
-            pages_path, cfg, stage_code_hash([fake_stage.with_fake])
-        )
+        fp2 = run_fingerprint(pages_path, cfg, stage_code_hash([fake_stage]))
         assert fp1 != fp2
     finally:
         sys.path.remove(str(tmp_path))

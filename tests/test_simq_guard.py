@@ -55,3 +55,25 @@ def test_neardup_guard_routes_through_lsh(spark, monkeypatch):
     assert got == pytest.approx(expected)
     # and the guarded path is a strict subset of the exact all-pairs set
     assert set(got) <= set(_exact_pairs(emb))
+    # the chosen route is observable (ADVICE r2: no silent
+    # exact->approximate switch)
+    assert simq.LAST_NEARDUP_ROUTE == "lsh"
+
+
+def test_neardup_route_decision_needs_no_count_scan(spark, monkeypatch):
+    """Route picking reads parquet footers, not a count() pass
+    (VERDICT r2 ask #5): with the footer estimate available, a count()
+    would crash via this sentinel."""
+    def boom(self):
+        raise AssertionError("route decision ran a count() scan")
+
+    from pyspark.sql import DataFrame
+
+    e = simq.t(spark, SF_DIR, "embeddings")
+    est = simq._parquet_row_estimate(e)
+    assert est == e.count()  # exact on an unfiltered local parquet scan
+
+    monkeypatch.setattr(DataFrame, "count", boom)
+    df = simq.q_embedding_neardup(spark, SF_DIR)  # must not raise
+    assert simq.LAST_NEARDUP_ROUTE == "exact"
+    assert df.columns == ["vec_a", "vec_b", "sim"]
