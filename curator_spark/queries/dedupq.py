@@ -561,13 +561,11 @@ GROUP BY s.doc_id
 """
 
 
-def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rewrite each doc with boilerplate segments REMOVED (the actual
-    paragraph-dedup transformation, not just the metric): explode with
-    position, flag boilerplate, reassemble the survivors in original
-    order. Order preservation costs a collect_list + array_sort per
-    doc — bounded by doc length, not corpus size."""
-    d = spread(t(spark, sf_dir, "documents"), spark)
+def boilerplate_scrub_frame(d: DataFrame) -> DataFrame:
+    """Core of q_boilerplate_scrub over any (doc_id, text) frame —
+    factored out so the pathological-shape property test
+    (tests/test_properties.py: one 10k-segment doc) can drive it on a
+    constructed corpus."""
     segs = d.select(
         "doc_id",
         F.posexplode(_segments(_words(F.col("text")))).alias("pos", "seg"),
@@ -594,6 +592,16 @@ def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_removed"),
         )
     )
+
+
+def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rewrite each doc with boilerplate segments REMOVED (the actual
+    paragraph-dedup transformation, not just the metric): explode with
+    position, flag boilerplate, reassemble the survivors in original
+    order. Order preservation costs a collect_list + array_sort per
+    doc — bounded by doc length, not corpus size (pinned by the
+    10k-segment property test in tests/test_properties.py)."""
+    return boilerplate_scrub_frame(spread(t(spark, sf_dir, "documents"), spark))
 
 
 SQL_BOILERPLATE_SCRUB = f"""

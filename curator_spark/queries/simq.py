@@ -635,44 +635,101 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", "emb", "best.cluster", "best.csim")
     )
-    # Pair stage: ONE grouped numpy pass per cluster instead of a
-    # within-cluster expression self-join — the join evaluated ~|c|^2
-    # interpreted HOF cosines per cluster (measured 8.4s at sf0.1 vs
-    # 0.9s for this form). Members are sorted by centrality (csim
-    # desc, vec_id) and a vector is dropped iff some EARLIER member is
-    # a near-duplicate; the strictly-upper-triangular mask of the
-    # normalized Gram matrix answers that for a whole cluster at once.
-    # Column-blocked so memory stays O(|c| * block), not O(|c|^2).
-    def prune(pdf):
+    # Pair stage: grouped numpy passes instead of a within-cluster
+    # expression self-join — the join evaluated ~|c|^2 interpreted HOF
+    # cosines per cluster (measured 8.4s at sf0.1 vs 0.9s for this
+    # form). The drop rule is NOT sequential: a member is dropped iff
+    # SOME higher-centrality member is a near-duplicate, regardless of
+    # that member's own fate — so it parallelizes over rank-BLOCK
+    # PAIRS exactly (VERDICT r2 ask #8, the hot-cluster defense):
+    # members get a per-cluster centrality rank (csim desc, vec_id)
+    # and a block id rk//B; each ordered block pair (a<=b) is its own
+    # applyInPandas group that marks block-b members near-duplicated
+    # by block-a members (strict upper triangle when a==b, full
+    # cross-Gram when a<b, column-blocked so memory stays
+    # O(B*block)); a final per-vec OR folds the verdicts. A cluster
+    # holding 50% of the corpus becomes ~(m/B)^2/2 independent tasks
+    # instead of one straggler (tests/test_semdedup_hotcluster.py);
+    # clusters that fit one block degenerate to exactly the r2
+    # single-group pass. Data duplication is m*(m/B), i.e. 1/B of the
+    # O(m^2) compute the exact algorithm already pays.
+    blk_sz = int(os.environ.get("SPARK_GRAFT_SEMDEDUP_BLOCK", "8192"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("csim"), F.col("vec_id")
+    )
+    ranked = assigned.withColumn(
+        "rk", F.row_number().over(w) - F.lit(1)
+    ).withColumn("blk", (F.col("rk") / F.lit(blk_sz)).cast("long"))
+    nblk = ranked.groupBy("cluster").agg(
+        (F.max("blk") + 1).alias("n_blk")
+    )
+    ranked = ranked.join(F.broadcast(nblk), "cluster")
+    # candidate role: member of block b answers in groups (a<=b, b)
+    right = ranked.select(
+        "cluster", "vec_id", "emb", "csim", "rk",
+        F.col("blk").alias("pb"),
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("pa"),
+        F.lit(True).alias("is_cand"),
+    )
+    # earlier-witness role: member of block a testifies in (a, b>a)
+    left = ranked.where(F.col("blk") + 1 < F.col("n_blk")).select(
+        "cluster", "vec_id", "emb", "csim", "rk",
+        F.explode(
+            F.sequence(F.col("blk") + 1, F.col("n_blk") - 1)
+        ).alias("pb"),
+        F.col("blk").alias("pa"),
+        F.lit(False).alias("is_cand"),
+    )
+
+    def prune_pair(pdf):
         import numpy as np
         import pandas as pd
 
-        order = np.lexsort((pdf["vec_id"].to_numpy(), -pdf["csim"].to_numpy()))
-        pdf = pdf.iloc[order]
-        M = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
-        M /= np.linalg.norm(M, axis=1, keepdims=True)
-        n = len(M)
+        cand = pdf[pdf["is_cand"]].sort_values("rk")
+        wit = pdf[~pdf["is_cand"]].sort_values("rk")
+        Mc = np.stack(cand["emb"].to_numpy()).astype(np.float64)
+        Mc /= np.linalg.norm(Mc, axis=1, keepdims=True)
+        n = len(Mc)
         dropped = np.zeros(n, dtype=bool)
-        for lo in range(0, n, 1024):
-            hi = min(lo + 1024, n)
-            S = M @ M[lo:hi].T  # (n, hi-lo)
-            near = S >= SEMDEDUP_TAU
-            rows = np.arange(n)[:, None]
-            cols = np.arange(lo, hi)[None, :]
-            dropped[lo:hi] = (near & (rows < cols)).any(axis=0)
+        if len(wit):  # a < b: every witness outranks every candidate
+            Mw = np.stack(wit["emb"].to_numpy()).astype(np.float64)
+            Mw /= np.linalg.norm(Mw, axis=1, keepdims=True)
+            for lo in range(0, n, 1024):
+                hi = min(lo + 1024, n)
+                dropped[lo:hi] = (
+                    (Mw @ Mc[lo:hi].T) >= SEMDEDUP_TAU
+                ).any(axis=0)
+        else:  # a == b: strict upper triangle within the block
+            for lo in range(0, n, 1024):
+                hi = min(lo + 1024, n)
+                S = Mc @ Mc[lo:hi].T
+                near = S >= SEMDEDUP_TAU
+                rows = np.arange(n)[:, None]
+                cols = np.arange(lo, hi)[None, :]
+                dropped[lo:hi] = (near & (rows < cols)).any(axis=0)
         return pd.DataFrame(
             {
-                "vec_id": pdf["vec_id"].to_numpy(),
-                "cluster": pdf["cluster"].to_numpy(),
-                "csim": pdf["csim"].to_numpy(),
-                "keep": ~dropped,
+                "vec_id": cand["vec_id"].to_numpy(),
+                "cluster": cand["cluster"].to_numpy(),
+                "csim": cand["csim"].to_numpy(),
+                "dropped": dropped,
             }
         )
 
+    verdicts = right.unionByName(left).groupBy(
+        "cluster", "pa", "pb"
+    ).applyInPandas(
+        prune_pair,
+        "vec_id long, cluster long, csim double, dropped boolean",
+    )
     return (
-        assigned.groupBy("cluster")
-        .applyInPandas(
-            prune, "vec_id long, cluster long, csim double, keep boolean"
+        verdicts.groupBy("vec_id")
+        .agg(
+            F.first("cluster").alias("cluster"),
+            F.first("csim").alias("csim"),
+            (~F.max("dropped")).alias("keep"),
         )
         .select(
             "vec_id",
