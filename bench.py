@@ -197,7 +197,7 @@ def run_suite(
             _force(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
         b1, s1 = _slice_cpu_stats(ncpus)
-        timings[name] = round(best, 3)
+        timings[name] = round(best, 2)
         steals[name] = round((s1 - s0) / max(b1 - b0 + s1 - s0, 1e-9), 3)
     spark.stop()
     return timings, steals
@@ -491,16 +491,31 @@ def main() -> None:
     timings, steals = run_suite(sf_dir, cores) if do_suite else ({}, {})
     total = round(sum(timings.values()), 3)
 
+    # Key order matters: the driver archives the TAIL of stdout, and
+    # r2's line was long enough that the leading fields fell outside
+    # the window (BENCH_r02.json "parsed": null, "value" truncated).
+    # The long queries dict goes FIRST; value/unit/sf/cores and the
+    # gate-bearing pipeline section go LAST so they always survive.
+    # Per-query steal fractions: only material ones (>10% of delivered
+    # cycles), capped at the 6 worst — enough to flag which timings
+    # are host weather while the full line (suite + pipeline) stays
+    # inside the driver's 2000-char stdout-tail window even in a
+    # storm. The complete per-query map is in the bench log if needed.
+    worst_steal = dict(
+        sorted(
+            ((k, round(v, 2)) for k, v in steals.items() if v > 0.10),
+            key=lambda kv: -kv[1],
+        )[:6]
+    )
     result = {
         "metric": (
-            "headline suite wall seconds (quality filter + dedup + "
-            "similarity + relational) at sf; plus quality-pipeline "
-            "docs/sec scaling N->4N cores"
+            "suite wall sec at sf + quality-pipeline docs/sec "
+            "scaling N->4N cores"
         ),
+        "queries": timings,
+        "query_steal_frac": worst_steal,
         "value": total,
         "unit": "sec",
-        "queries": timings,
-        "query_steal_frac": steals,
         "sf": sf,
         "cores": cores,
     }
@@ -519,7 +534,9 @@ def main() -> None:
         scale = n_big / n_small
         reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
         window = float(os.environ.get("SPARK_GRAFT_PAIR_WINDOW", "240"))
-        scale_budget = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "2400"))
+        # budget sized so even a full 8-pair storm hunt stays inside
+        # the ~40-min envelope the r2 driver run completed within
+        scale_budget = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET", "1800"))
         t_scale = time.time()
         pairs: list[dict] = []
         best_4n = 0.0
@@ -576,8 +593,8 @@ def main() -> None:
         raw_basis = sorted(ratio(p["mean_small"], p["mean_big"]) for p in basis)
         result["pipeline"] = {
             "n_docs": BENCH_DOCS,
-            "docs_per_sec_n": round(med[f"{key}_small"], 1),
-            "docs_per_sec_4n": round(med[f"{key}_big"], 1),
+            "docs_per_sec_n": int(med[f"{key}_small"]),
+            "docs_per_sec_4n": int(med[f"{key}_big"]),
             "cores_n": n_small,
             "cores_4n": n_big,
             "scaling_efficiency": round(eff, 3),
@@ -590,35 +607,34 @@ def main() -> None:
             ),
             "clean_pairs": len(clean),
             "pair_samples_raw": [
-                [round(p["mean_small"], 1), round(p["mean_big"], 1)]
+                [int(p["mean_small"]), int(p["mean_big"])]
                 for p in pairs
             ],
             "pair_efficiencies_raw": [round(e, 3) for e in raw_effs],
             "pair_efficiencies_steal_corrected": [
                 round(e, 3) for e in corr_effs
             ],
+            # per pair: [busy_n, steal_n, busy_4n, steal_4n (CPUs),
+            # clean(0/1), corr_capped(0/1)] — compact array form so the
+            # whole JSON line fits the driver's 2000-char stdout-tail
+            # window (r2's verbose line truncated and failed to parse)
             "pair_cpu_diag": [
-                {
-                    "busy_n": round(p["busy_small"], 1),
-                    "steal_n": round(p["steal_small"], 1),
-                    "busy_4n": round(p["busy_big"], 1),
-                    "steal_4n": round(p["steal_big"], 1),
-                    "clean": steal_frac(p) < CLEAN_STEAL,
-                    "corr_capped": p["corr_capped"],
-                }
+                [
+                    round(p["busy_small"], 1),
+                    round(p["steal_small"], 1),
+                    round(p["busy_big"], 1),
+                    round(p["steal_big"], 1),
+                    int(steal_frac(p) < CLEAN_STEAL),
+                    int(p["corr_capped"]),
+                ]
                 for p in pairs
             ],
+            # full protocol rationale: module docstring + BENCH/BASELINE.md
             "estimator": (
-                "median window-MEAN throughput ratio over CLEAN "
-                "(<10% steal) pairs, hunted until >=3 within budget "
-                "(fallback: median steal-corrected ratio over all "
-                "pairs, correction thr*(busy+steal)/busy capped at "
-                "2x); levels barrier-released simultaneously after "
-                "plan-build+warmup on equal-CPUs-per-lane (2x) "
-                "slices, measuring to a shared deadline, slices "
-                "swapped between reps"
+                "median window-mean ratio over clean (<10% steal) "
+                "barrier-synced concurrent pairs; see BENCH/BASELINE.md"
             ),
-            "docs_per_sec_peak": round(best_4n, 1),
+            "docs_per_sec_peak": int(best_4n),
             "peak_cores": n_big,
         }
 

@@ -659,28 +659,55 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("cluster").orderBy(
         F.desc("csim"), F.col("vec_id")
     )
-    ranked = assigned.withColumn(
-        "rk", F.row_number().over(w) - F.lit(1)
-    ).withColumn("blk", (F.col("rk") / F.lit(blk_sz)).cast("long"))
-    nblk = ranked.groupBy("cluster").agg(
-        (F.max("blk") + 1).alias("n_blk")
+    # rank + cluster size ride the SAME cluster-partitioned window
+    # exchange (the unordered count spec adds no sort and no shuffle),
+    # so the expensive upstream (scan -> centroids -> assignment) is
+    # computed exactly once — a two-branch union here re-ran the whole
+    # pipeline per role in the physical plan.
+    w_all = Window.partitionBy("cluster")
+    ranked = (
+        assigned.withColumn("rk", F.row_number().over(w) - F.lit(1))
+        .withColumn("n_mem", F.count(F.lit(1)).over(w_all))
+        .withColumn("blk", (F.col("rk") / F.lit(blk_sz)).cast("long"))
+        .withColumn(
+            "n_blk", F.ceil(F.col("n_mem") / F.lit(blk_sz)).cast("long")
+        )
     )
-    ranked = ranked.join(F.broadcast(nblk), "cluster")
-    # candidate role: member of block b answers in groups (a<=b, b)
-    right = ranked.select(
-        "cluster", "vec_id", "emb", "csim", "rk",
-        F.col("blk").alias("pb"),
-        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("pa"),
-        F.lit(True).alias("is_cand"),
+    # Both roles emitted from ONE array-explode over each member:
+    #   candidate in block b -> groups (a, b) for a in 0..b
+    #   earlier-witness in block a -> groups (a, pb) for pb in a+1..B-1
+    # (the witness list is built with a guard element and filtered so
+    # single-block clusters emit no witness entries).
+    cand_entries = F.transform(
+        F.sequence(F.lit(0), F.col("blk")),
+        lambda a: F.struct(
+            a.alias("pa"),
+            F.col("blk").alias("pb"),
+            F.lit(True).alias("is_cand"),
+        ),
     )
-    # earlier-witness role: member of block a testifies in (a, b>a)
-    left = ranked.where(F.col("blk") + 1 < F.col("n_blk")).select(
+    wit_entries = F.filter(
+        F.transform(
+            F.sequence(
+                F.col("blk") + 1,
+                F.greatest(F.col("n_blk") - 1, F.col("blk") + 1),
+            ),
+            lambda b: F.struct(
+                F.col("blk").alias("pa"),
+                b.alias("pb"),
+                F.lit(False).alias("is_cand"),
+            ),
+        ),
+        lambda s: s["pb"] < F.col("n_blk"),
+    )
+    exploded = ranked.select(
         "cluster", "vec_id", "emb", "csim", "rk",
-        F.explode(
-            F.sequence(F.col("blk") + 1, F.col("n_blk") - 1)
-        ).alias("pb"),
-        F.col("blk").alias("pa"),
-        F.lit(False).alias("is_cand"),
+        F.explode(F.concat(cand_entries, wit_entries)).alias("pe"),
+    ).select(
+        "cluster", "vec_id", "emb", "csim", "rk",
+        F.col("pe.pa").alias("pa"),
+        F.col("pe.pb").alias("pb"),
+        F.col("pe.is_cand").alias("is_cand"),
     )
 
     def prune_pair(pdf):
@@ -718,9 +745,7 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    verdicts = right.unionByName(left).groupBy(
-        "cluster", "pa", "pb"
-    ).applyInPandas(
+    verdicts = exploded.groupBy("cluster", "pa", "pb").applyInPandas(
         prune_pair,
         "vec_id long, cluster long, csim double, dropped boolean",
     )

@@ -171,3 +171,16 @@ def test_snapshot_read_prunes_bucket_partitions(spark, pages_path, cfg, tmp_path
     # and the pruned read returns exactly that bucket's rows
     m = pipe.metrics(spark, r.fingerprint).toPandas().set_index("bucket_id")
     assert one.count() == int(m.loc[3, "docs_seen"])
+
+
+def test_semdedup_upstream_computed_once(spark):
+    """The block-pair decomposition must emit candidate and witness
+    roles from ONE explode: a two-branch union re-ran the whole
+    upstream (scan -> centroids -> assignment -> rank window) once per
+    role. Pin: exactly 2 parquet scans (the centroid pass + the main
+    pass) and one cluster-window exchange feeding both the rank and
+    cluster-size specs."""
+    from curator_spark.queries.simq import q_semdedup_prune
+
+    plan = _executed(q_semdedup_prune(spark, "/root/testdata/sf0.001"))
+    assert plan.count("Scan parquet") == 2, plan.count("Scan parquet")
