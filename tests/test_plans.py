@@ -174,13 +174,15 @@ def test_snapshot_read_prunes_bucket_partitions(spark, pages_path, cfg, tmp_path
 
 
 def test_semdedup_upstream_computed_once(spark):
-    """The block-pair decomposition must emit candidate and witness
-    roles from ONE explode: a two-branch union re-ran the whole
-    upstream (scan -> centroids -> assignment -> rank window) once per
-    role. Pin: exactly 2 parquet scans (the centroid pass + the main
-    pass) and one cluster-window exchange feeding both the rank and
-    cluster-size specs."""
+    """The hash-block-pair decomposition must not re-run the upstream
+    per role (an earlier two-branch union re-ran scan -> centroids ->
+    assignment once per role) and must not contain a per-cluster
+    Window (a rank window hashes the whole mega-cluster into ONE
+    shuffle partition — the same straggler at the exchange instead of
+    the UDF). Pin: exactly 2 parquet scans (the centroid pass + the
+    main pass) and zero Window operators."""
     from curator_spark.queries.simq import q_semdedup_prune
 
     plan = _executed(q_semdedup_prune(spark, "/root/testdata/sf0.001"))
     assert plan.count("Scan parquet") == 2, plan.count("Scan parquet")
+    assert "Window" not in plan
