@@ -25,13 +25,15 @@ STAT_COLS = (
 def with_rule_stats(
     df: DataFrame, text_col: str = "text", fast: bool = True
 ) -> DataFrame:
-    """Adds the five stat columns, computing the expensive
-    split+filter word count ONCE as a materialized column that the
-    three ratio stats reference. Catalyst does not collapse the two
-    Projects because the alias is consumed multiple times, so the
-    word count is evaluated once per row instead of four times
-    (measured 5.3 -> 4.9 s for the full rules stage on the 960k-page
-    bench corpus). Values are identical to ts.all_stats."""
+    """Adds the five stat columns, computing the word count ONCE as a
+    materialized column that the three ratio stats reference.
+    Catalyst does not collapse the two Projects because the alias is
+    consumed multiple times, so the word count is evaluated once per
+    row instead of four times (measured 5.3 -> 4.9 s for the full
+    rules stage on the 960k-page bench corpus, back when word_count
+    was a split+filter array build; it is now a single regexp_count
+    pass — see ts.word_count — and sharing it still saves the three
+    re-evaluations). Values are identical to ts.all_stats."""
     t = F.col(text_col)
     df = df.withColumn("word_count", ts.word_count(t))
     wc = F.col("word_count")

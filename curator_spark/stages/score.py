@@ -52,12 +52,22 @@ def make_score_udf(cfg: QualityConfig):
                 pred_idx >= 0, lang_arr[np.maximum(pred_idx, 0)], "und"
             )
             scrubbed, counts = scrub_series(texts)
+            # Arrow return-path compression: rows the scrub did not
+            # touch (all counts zero — replacements never reintroduce
+            # a pattern, so zero counts <=> byte-identical text) come
+            # back as NULL and are restored JVM-side by a coalesce
+            # with the original column. Web corpora are mostly
+            # PII-free, so this removes ~95% of the output text bytes
+            # from the Python->JVM serialization (the end-to-end
+            # pipeline's largest single cost after this change is the
+            # input text serialization, which is irreducible).
+            unchanged = (counts.sum(axis=1).values == 0) & texts.notna().values
             out = pd.DataFrame(
                 {
                     "lang_pred": pred,
                     "lang_score": conf,
                     "perplexity": ppl,
-                    "scrubbed_text": scrubbed,
+                    "scrubbed_text": scrubbed.mask(unchanged, None),
                 }
             )
             for c in ("emails", "ids", "phones", "toxic"):
@@ -75,7 +85,12 @@ def with_scores(df: DataFrame, cfg: QualityConfig, text_col: str = "text") -> Da
         df.withColumn("lang_pred", s["lang_pred"])
         .withColumn("lang_score", s["lang_score"])
         .withColumn("perplexity", s["perplexity"])
-        .withColumn("scrubbed_text", s["scrubbed_text"])
+        # NULL from the UDF means "scrub touched nothing" — restore
+        # the original bytes without ever shipping them back from
+        # Python (see the UDF body)
+        .withColumn(
+            "scrubbed_text", F.coalesce(s["scrubbed_text"], F.col(text_col))
+        )
         .withColumn(
             "scrub_counts",
             F.struct(

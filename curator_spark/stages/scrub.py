@@ -27,8 +27,15 @@ def make_scrub_udf():
     def scrub_udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         for texts in it:
             scrubbed, counts = scrub_series(texts)
+            # untouched rows (all counts zero <=> byte-identical text)
+            # return NULL; the JVM side coalesces the original column
+            # back in — same Arrow return-path compression as the
+            # fused scorer (stages/score.py)
+            unchanged = (
+                counts.sum(axis=1).values == 0
+            ) & texts.notna().values
             out = counts.copy()
-            out.insert(0, "scrubbed_text", scrubbed)
+            out.insert(0, "scrubbed_text", scrubbed.mask(unchanged, None))
             yield out
 
     return scrub_udf
@@ -37,7 +44,10 @@ def make_scrub_udf():
 def with_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     df = df.withColumn("_scrub", make_scrub_udf()(F.col(text_col)))
     return (
-        df.withColumn("scrubbed_text", F.col("_scrub.scrubbed_text"))
+        df.withColumn(
+            "scrubbed_text",
+            F.coalesce(F.col("_scrub.scrubbed_text"), F.col(text_col)),
+        )
         .withColumn(
             "scrub_counts",
             F.struct(
