@@ -192,13 +192,23 @@ def run_suite(
         fn = QUERIES[name]
         best = float("inf")
         b0, s0 = _slice_cpu_stats(ncpus)
-        for _ in range(2):
+        reps = 0
+        while True:
             t0 = time.perf_counter()
             _force(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
-        b1, s1 = _slice_cpu_stats(ncpus)
+            reps += 1
+            b1, s1 = _slice_cpu_stats(ncpus)
+            frac = (s1 - s0) / max(b1 - b0 + s1 - s0, 1e-9)
+            # steal-aware retries: a query measured inside a steal
+            # storm records the hypervisor, not the plan (measured:
+            # ccnet_ppl_buckets 1.4s clean vs 10.6s at 35% steal).
+            # Two reps normally; up to two more while the window is
+            # stormy, keeping the best.
+            if reps >= 2 and (frac < 0.15 or reps >= 4):
+                break
         timings[name] = round(best, 2)
-        steals[name] = round((s1 - s0) / max(b1 - b0 + s1 - s0, 1e-9), 3)
+        steals[name] = round(frac, 3)
     spark.stop()
     return timings, steals
 

@@ -670,8 +670,15 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # straggler at the exchange instead of the UDF. B is sized from
     # the label counts the centroid pass already accumulates (n_lab);
     # assignment drift vs label counts only changes block sizes, never
-    # correctness. Data duplication is m*B ≈ m^2/blk_sz rows, i.e.
-    # 1/blk_sz of the O(m^2) compute exact SemDeDup already pays.
+    # correctness. (If reassignment ever concentrated far beyond the
+    # label histogram — degenerate embeddings pulling most of a corpus
+    # into one centroid — blocks would grow with it; the defense is a
+    # smaller SPARK_GRAFT_SEMDEDUP_BLOCK, or sizing from one extra
+    # tiny agg over `assigned` at the cost of a second assignment
+    # pass. Nearest-centroid assignment against label-mean centroids
+    # stays near the label histogram in practice.) Data duplication
+    # is m*B ≈ m^2/blk_sz rows, i.e. 1/blk_sz of the O(m^2) compute
+    # exact SemDeDup already pays.
     blk_sz = int(os.environ.get("SPARK_GRAFT_SEMDEDUP_BLOCK", "8192"))
     blocked = (
         assigned.withColumn(
