@@ -574,15 +574,36 @@ def main() -> None:
         def clean_count() -> int:
             return sum(1 for p in pairs if steal_frac(p) < CLEAN_STEAL)
 
+        failed_pairs = 0
         while i < reps or (i < MAX_PAIRS and clean_count() < CLEAN_TARGET):
-            p = run_fair_pair(
-                n_small, n_big, pages, BENCH_DOCS, window, swap=bool(i % 2)
-            )
+            # a single dead child (OOM, transient JVM failure) must
+            # not take down the whole bench and lose the artifact —
+            # skip the pair, keep hunting within budget
+            try:
+                p = run_fair_pair(
+                    n_small, n_big, pages, BENCH_DOCS, window,
+                    swap=bool(i % 2),
+                )
+            except Exception as exc:  # noqa: BLE001 — log + continue
+                print(f"pair {i} failed: {exc}", file=sys.stderr)
+                failed_pairs += 1
+                i += 1
+                if failed_pairs > 3 or time.time() - t_scale > scale_budget:
+                    break
+                continue
             pairs.append(p)
             best_4n = max(best_4n, p["best_big"])
             i += 1
             if time.time() - t_scale > scale_budget:
                 break
+
+        if not pairs:
+            result["pipeline"] = {
+                "error": "all scaling pairs failed; see bench stderr",
+                "failed_pairs": failed_pairs,
+            }
+            print(json.dumps(result))
+            return
 
         clean = [p for p in pairs if steal_frac(p) < CLEAN_STEAL]
         # headline = median RATIO over the CLEAN pairs (steal
@@ -647,6 +668,8 @@ def main() -> None:
             "docs_per_sec_peak": int(best_4n),
             "peak_cores": n_big,
         }
+        if failed_pairs:
+            result["pipeline"]["failed_pairs"] = failed_pairs
 
     print(json.dumps(result))
 
