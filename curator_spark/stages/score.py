@@ -77,6 +77,46 @@ def make_score_udf(cfg: QualityConfig):
     return score_udf
 
 
+def make_model_udf(cfg: QualityConfig):
+    """Fused langid + perplexity only (no scrub) — for consumers that
+    need both model scores but not the rewrite (e.g. CCNet buckets):
+    one Arrow round-trip of the text instead of two chained UDFs.
+    Same compute cores, so values are bit-identical to the per-stage
+    UDFs."""
+    langs = cfg.langs
+
+    @pandas_udf("lang_pred string, lang_score double, perplexity double")
+    def model_udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        table, model_langs = _resolve_tables(langs)
+        lm = V.get_bigram_lm()
+        lang_arr = np.array(model_langs, dtype=object)
+        for texts in it:
+            t = texts.fillna("").tolist()
+            pred_idx, conf, ppl = V.score_batch(t, model_langs, table, lm)
+            pred = np.where(
+                pred_idx >= 0, lang_arr[np.maximum(pred_idx, 0)], "und"
+            )
+            yield pd.DataFrame(
+                {"lang_pred": pred, "lang_score": conf, "perplexity": ppl}
+            )
+
+    return model_udf
+
+
+def with_model_scores(
+    df: DataFrame, cfg: QualityConfig, text_col: str = "text"
+) -> DataFrame:
+    """lang_pred / lang_score / perplexity from ONE fused Arrow pass."""
+    df = df.withColumn("_m", make_model_udf(cfg)(F.col(text_col)))
+    m = F.col("_m")
+    return (
+        df.withColumn("lang_pred", m["lang_pred"])
+        .withColumn("lang_score", m["lang_score"])
+        .withColumn("perplexity", m["perplexity"])
+        .drop("_m")
+    )
+
+
 def with_scores(df: DataFrame, cfg: QualityConfig, text_col: str = "text") -> DataFrame:
     """All model-scored columns from one fused Arrow pass."""
     df = df.withColumn("_score", make_score_udf(cfg)(F.col(text_col)))
