@@ -507,7 +507,7 @@ def main() -> None:
     # The long queries dict goes FIRST; value/unit/sf/cores and the
     # gate-bearing pipeline section go LAST so they always survive.
     # Per-query steal fractions: only material ones (>10% of delivered
-    # cycles), capped at the 6 worst — enough to flag which timings
+    # cycles), capped at the 4 worst — enough to flag which timings
     # are host weather while the full line (suite + pipeline) stays
     # inside the driver's 2000-char stdout-tail window even in a
     # storm. The complete per-query map is in the bench log if needed.
@@ -515,7 +515,7 @@ def main() -> None:
         sorted(
             ((k, round(v, 2)) for k, v in steals.items() if v > 0.10),
             key=lambda kv: -kv[1],
-        )[:6]
+        )[:4]
     )
     result = {
         "metric": (
