@@ -607,11 +607,14 @@ def main() -> None:
 
         clean = [p for p in pairs if steal_frac(p) < CLEAN_STEAL]
         # headline = median RATIO over the CLEAN pairs (steal
-        # correction is ~1 there, so corrected == raw); fallback when
-        # the budget expired with no clean window = median
-        # steal-corrected ratio over all pairs. headline_basis records
+        # correction is ~1 there, so corrected == raw) — but only when
+        # there are >= 2 of them: a single clean window is the same
+        # weakest-link the r2 protocol was criticized for (and steal
+        # accounting misses clean-but-throttled windows). With 0-1
+        # clean pairs the headline falls back to the median
+        # steal-corrected ratio over ALL pairs. headline_basis records
         # which basis produced the number the driver reads.
-        basis = clean if clean else pairs
+        basis = clean if len(clean) >= 2 else pairs
         effs = sorted(ratio(p["corr_small"], p["corr_big"]) for p in basis)
         eff = effs[len(effs) // 2]
         med = min(
@@ -633,7 +636,7 @@ def main() -> None:
                 raw_basis[len(raw_basis) // 2], 3
             ),
             "headline_basis": (
-                f"clean_pairs({len(clean)})" if clean
+                f"clean_pairs({len(clean)})" if len(clean) >= 2
                 else f"all_pairs_steal_corrected({len(pairs)})"
             ),
             "clean_pairs": len(clean),

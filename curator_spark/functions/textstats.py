@@ -36,7 +36,11 @@ def word_count(text: Column) -> Column:
     # corpus) and measured 3x faster (2.96 -> 0.97 s / 240k docs / 6
     # cores). `words()` remains the materializing form for stats that
     # need the tokens themselves.
-    return F.regexp_count(text, F.lit(r"\S+"))
+    # NULL text: regexp_count(NULL) is NULL, which would let a NULL row
+    # slip past `wc < MIN` to a later rule; coalesce to -1 (the legacy
+    # size(split(NULL)) value) so NULL text deterministically fails the
+    # word_count rule, matching the pre-regexp_count behavior.
+    return F.coalesce(F.regexp_count(text, F.lit(r"\S+")), F.lit(-1))
 
 
 def non_ws_chars(text: Column) -> Column:

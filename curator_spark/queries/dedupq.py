@@ -564,7 +564,7 @@ GROUP BY s.doc_id
 def boilerplate_scrub_frame(d: DataFrame) -> DataFrame:
     """Core of q_boilerplate_scrub over any (doc_id, text) frame —
     factored out so the pathological-shape property test
-    (tests/test_properties.py: one 10k-segment doc) can drive it on a
+    (tests/test_boilerplate_pathological.py: one 10k-segment doc) can drive it on a
     constructed corpus."""
     segs = d.select(
         "doc_id",
@@ -600,7 +600,7 @@ def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     position, flag boilerplate, reassemble the survivors in original
     order. Order preservation costs a collect_list + array_sort per
     doc — bounded by doc length, not corpus size (pinned by the
-    10k-segment property test in tests/test_properties.py)."""
+    10k-segment property test in tests/test_boilerplate_pathological.py)."""
     return boilerplate_scrub_frame(spread(t(spark, sf_dir, "documents"), spark))
 
 

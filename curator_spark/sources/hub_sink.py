@@ -1,0 +1,130 @@
+"""HF-Hub-shaped dataset sink + dataset card (SURVEY §2 S8).
+
+The reference's `push_to_hub` uploads the finished dataset and then
+attaches a generated DatasetCard (reference:
+base_request_processor.py:568-581, hf_card_template.py). Restated for
+Spark: the sink *materializes the hub repo layout locally* —
+`data/train-XXXXX-of-XXXXX.parquet` shards plus a `README.md` card
+with YAML front-matter and a sample row — because the upload itself is
+plain file transfer that `huggingface_hub` does better than Spark.
+When `huggingface_hub` is importable and a token is present the
+directory is uploaded verbatim (import-try gated: this container has
+neither the library nor network, so that path is documented, not
+tested).
+
+Scale note: shard count is derived from a target shard byte size using
+the actual on-disk input size when the plan exposes one (same
+footer-metadata trick as queries/simq.py:56), so a 100 TB dataset
+lands as ~100k bounded shards instead of one task's worth of
+monolith files. The write is `repartition(n)` + parquet — one
+round-robin shuffle, which is the price of deterministic shard count
+and even shard sizes.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+from pyspark.sql import DataFrame
+
+CARD_TEMPLATE = """---
+language: en
+license: mit
+tags:
+- curator-spark
+---
+
+## Dataset card for {dataset_name}
+
+Written by curator_spark's hub sink.
+
+## Dataset details
+
+A sample from the dataset:
+
+```python
+{sample}
+```
+
+Shards: {n_shards} parquet file(s) under `data/`.
+"""
+
+TARGET_SHARD_BYTES = 256 * 1024 * 1024  # hub-friendly shard size
+
+
+def _estimate_bytes(df: DataFrame) -> int | None:
+    """Logical-plan size estimate (parquet footer stats when the source
+    is a file scan); None when the optimizer reports the unknown-size
+    sentinel."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        size = int(stats.sizeInBytes().toString())
+        return size if 0 < size < (1 << 62) else None
+    except Exception:
+        return None
+
+
+def push_to_hub_layout(
+    df: DataFrame,
+    repo_dir: str,
+    repo_id: str,
+    split: str = "train",
+    target_shard_bytes: int = TARGET_SHARD_BYTES,
+    upload: bool = False,
+) -> dict:
+    """Write `repo_dir` as a hub dataset repo: sharded parquet + card.
+
+    Returns a manifest dict {n_shards, files, card_path}. With
+    upload=True, pushes the directory via huggingface_hub when
+    available (raises ImportError otherwise).
+    """
+    est = _estimate_bytes(df)
+    n_shards = (
+        max(1, math.ceil(est / target_shard_bytes)) if est else df.rdd.getNumPartitions()
+    )
+    data_dir = os.path.join(repo_dir, "data")
+    tmp_dir = os.path.join(repo_dir, "_tmp_write")
+    df.repartition(n_shards).write.mode("overwrite").parquet(tmp_dir)
+
+    os.makedirs(data_dir, exist_ok=True)
+    parts = sorted(
+        f for f in os.listdir(tmp_dir) if f.endswith(".parquet")
+    )
+    n = len(parts)
+    files = []
+    for i, part in enumerate(parts):
+        name = f"{split}-{i:05d}-of-{n:05d}.parquet"
+        os.replace(os.path.join(tmp_dir, part), os.path.join(data_dir, name))
+        files.append(os.path.join("data", name))
+    for leftover in os.listdir(tmp_dir):
+        os.remove(os.path.join(tmp_dir, leftover))
+    os.rmdir(tmp_dir)
+
+    # Card sample = first row in deterministic column order (the
+    # reference serializes dataset[0], base_request_processor.py:577).
+    sample_row = df.limit(1).collect()
+    sample = json.dumps(
+        sample_row[0].asDict(recursive=True) if sample_row else {},
+        indent=4,
+        default=str,
+        sort_keys=True,
+    )
+    card_path = os.path.join(repo_dir, "README.md")
+    with open(card_path, "w", encoding="utf-8") as f:
+        f.write(
+            CARD_TEMPLATE.format(
+                dataset_name=repo_id.split("/")[-1],
+                sample=sample,
+                n_shards=n,
+            )
+        )
+
+    if upload:
+        from huggingface_hub import HfApi  # import-try gate: optional dep
+
+        HfApi().upload_folder(
+            folder_path=repo_dir, repo_id=repo_id, repo_type="dataset"
+        )
+    return {"n_shards": n, "files": files, "card_path": card_path}
