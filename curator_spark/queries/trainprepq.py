@@ -370,16 +370,16 @@ def q_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = t(spark, sf_dir, "documents")
     h = F.md5(F.col("text").cast("binary"))
-    canon = (
-        d.select("doc_id", h.alias("h"))
-        .groupBy("h")
-        .agg(F.min("doc_id").alias("keep_doc_id"))
-    )
+    # min-over-window, not groupBy + join-back: ONE exchange of the
+    # corpus-sized (doc_id, h) projection instead of two plus a join —
+    # same shape as the oracle's `min(doc_id) OVER (PARTITION BY
+    # md5(text))`. Dup groups are tiny, so no hot-partition risk.
+    w = Window.partitionBy("h")
     canonical = (
         d.select("doc_id", h.alias("h"))
-        .join(canon, "h")
         .select(
-            "doc_id", (F.col("doc_id") == F.col("keep_doc_id")).alias("is_canonical")
+            "doc_id",
+            (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_canonical"),
         )
     )
     dec = q_decontaminate(spark, sf_dir)  # train-split docs only

@@ -56,3 +56,31 @@ def test_stopword_fast_equals_hof(spark, pages_path):
         ts.stopword_density_fast(F.col("text")).alias("fast"),
     )
     assert df.where(F.col("hof") != F.col("fast")).count() == 0
+
+
+def test_null_text_fails_word_count_rule(spark, cfg):
+    """NULL text must drop deterministically at the word_count rule:
+    regexp_count(NULL) is NULL, so word_count coalesces it to -1 (the
+    legacy size(split(NULL)) value) — without that, the NULL row's
+    fail_rule_word_count would be NULL and the drop would shift to a
+    later rule (ADVICE r3)."""
+    from pyspark.sql import functions as F
+
+    from curator_spark.stages.rules import with_rule_flags, with_rule_stats
+
+    df = spark.createDataFrame(
+        [("n", None), ("e", ""), ("ok", "the quick brown fox is here")],
+        "doc_id string, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in with_rule_flags(with_rule_stats(df), cfg).collect()
+    }
+    for k in ("n", "e"):
+        row = out[k]
+        assert row["fail_rule_word_count"] is True
+        assert row["mean_word_length"] == 0.0
+        assert row["stopword_density"] == 0.0
+    assert out["n"]["word_count"] == -1
+    assert out["e"]["word_count"] == 0
+    assert out["ok"]["fail_rule_word_count"] in (True, False)  # non-null
