@@ -394,20 +394,27 @@ def min_label_propagate(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
         .select("doc_id", F.col("doc_id").alias("label"))
         .localCheckpoint(eager=False)
     )
-    for _ in range(max_rounds):  # diameter bound; converges long before
+
+    def hop(lbl: DataFrame) -> DataFrame:
         neigh = (
-            edges.join(labels, edges["d"] == labels["doc_id"])
+            edges.join(lbl, edges["d"] == lbl["doc_id"])
             .groupBy(F.col("s").alias("doc_id"))
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
-            labels.join(neigh, "doc_id")
-            .select(
-                "doc_id",
-                F.least(F.col("label"), F.col("nlabel")).alias("label"),
-            )
-            .localCheckpoint(eager=True)
+        return lbl.join(neigh, "doc_id").select(
+            "doc_id",
+            F.least(F.col("label"), F.col("nlabel")).alias("label"),
         )
+
+    # TWO propagation hops per checkpoint + changed-probe cycle:
+    # min-label propagation is monotone, so extra hops never change
+    # the fixpoint — but each cycle's eager checkpoint and probe are
+    # driver-side actions (job-submit latency locally; full label-table
+    # materialization at scale), so covering the diameter in half the
+    # cycles halves that fixed cost. Multi-hop convergence is pinned by
+    # tests/test_cc_propagation.py.
+    for _ in range(max_rounds):  # diameter bound; converges long before
+        new_labels = hop(hop(labels)).localCheckpoint(eager=True)
         changed = (
             new_labels.join(labels.withColumnRenamed("label", "old"), "doc_id")
             .where(F.col("label") != F.col("old"))
