@@ -226,7 +226,11 @@ def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     ws = ts.words(F.col("text"))
     ls = F.transform(ts.lines(F.col("text")), lambda l: F.trim(l))
-    wc = F.size(ws)
+    # coalesce like ts.word_count: size(NULL) is NULL under ANSI, which
+    # would NULL the word_count output (and shift the drop_reason off
+    # the word-count rule) for a NULL-text row; -1 fails it instead,
+    # matching the SQL twin's coalesce(len(ws), -1).
+    wc = F.coalesce(F.size(ws), F.lit(-1))
     alpha = F.when(
         wc > 0, F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]"))) / wc
     ).otherwise(F.lit(0.0))
@@ -286,7 +290,7 @@ WITH base AS (
 ),
 stats AS (
   SELECT doc_id,
-    len(ws)::BIGINT AS word_count,
+    coalesce(len(ws), -1)::BIGINT AS word_count,
     round(CASE WHEN len(ws) > 0
       THEN len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
            / len(ws) ELSE 0.0 END, 6) AS alpha_word_frac,

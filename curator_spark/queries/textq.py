@@ -62,7 +62,7 @@ WITH base AS (
   FROM documents
 )
 SELECT doc_id,
-  len(ws)::BIGINT AS word_count,
+  coalesce(len(ws), -1)::BIGINT AS word_count,
   round(CASE WHEN len(ws) > 0 THEN nws::DOUBLE / len(ws) ELSE 0.0 END, 6)
     AS mean_word_length,
   round(CASE WHEN len(ws) > 0 THEN symc::DOUBLE / len(ws) ELSE 0.0 END, 6)
@@ -126,7 +126,7 @@ WITH base AS (
   FROM documents
 ), st AS (
   SELECT doc_id, lang,
-    len(ws) AS wc,
+    coalesce(len(ws), -1) AS wc,
     CASE WHEN len(ws) > 0 THEN nws::DOUBLE / len(ws) ELSE 0.0 END AS mwl,
     CASE WHEN len(ws) > 0 THEN symc::DOUBLE / len(ws) ELSE 0.0 END AS symr,
     CASE WHEN len(ls) > 0
@@ -261,7 +261,7 @@ def sql_token_stats() -> str:
     pat = TOKEN_RE
     return f"""
 SELECT doc_id,
-  len({sql_words()})::BIGINT AS n_ws_tokens,
+  coalesce(len({sql_words()}), -1)::BIGINT AS n_ws_tokens,
   len(regexp_extract_all(text, '{pat}'))::BIGINT AS n_bpe_tokens,
   length(text)::BIGINT AS n_chars
 FROM documents
@@ -314,7 +314,7 @@ WITH base AS (
   FROM documents
 ), st AS (
   SELECT doc_id,
-    len(ws) AS wc,
+    coalesce(len(ws), -1) AS wc,
     CASE WHEN len(ws) > 0 THEN symc::DOUBLE / len(ws) ELSE 0.0 END AS symr,
     CASE WHEN len(ws) > 0
          THEN len(list_filter(ws, x -> list_contains({sql_stopword_list()}, lower(x))))::DOUBLE

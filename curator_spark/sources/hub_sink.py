@@ -89,6 +89,13 @@ def push_to_hub_layout(
     df.repartition(n_shards).write.mode("overwrite").parquet(tmp_dir)
 
     os.makedirs(data_dir, exist_ok=True)
+    # a rerun with a smaller shard count would otherwise leave the old
+    # run's train-XXXXX-of-XXXXX files (different -of- suffix, so no
+    # name collision) mixed in with the new ones — stale+new rows on
+    # reload. Clear this split's files before renaming the new set in.
+    for old in os.listdir(data_dir):
+        if old.startswith(f"{split}-") and old.endswith(".parquet"):
+            os.remove(os.path.join(data_dir, old))
     parts = sorted(
         f for f in os.listdir(tmp_dir) if f.endswith(".parquet")
     )
@@ -102,9 +109,15 @@ def push_to_hub_layout(
         os.remove(os.path.join(tmp_dir, leftover))
     os.rmdir(tmp_dir)
 
-    # Card sample = first row in deterministic column order (the
-    # reference serializes dataset[0], base_request_processor.py:577).
-    sample_row = df.limit(1).collect()
+    # Card sample = first row (the reference serializes dataset[0],
+    # base_request_processor.py:577) — read back from the shards just
+    # written (one footer read) instead of re-executing the upstream
+    # DAG, which for a publish sink is typically the whole pipeline.
+    sample_row = (
+        df.sparkSession.read.parquet(data_dir).limit(1).collect()
+        if n
+        else []
+    )
     sample = json.dumps(
         sample_row[0].asDict(recursive=True) if sample_row else {},
         indent=4,

@@ -5,20 +5,27 @@ The reference streams each parsed response to a hosted viewer service
 as it lands, keyed by session id + response idx (reference:
 client.py:26-155, base_request_processor / online:631). Restated for
 Spark: executors must not funnel telemetry through the driver, so the
-sink is a `foreachPartition` spool — every partition appends its rows
-as JSONL events to its own file under the session directory, and the
-session manifest tracks the reference's STARTED → INPROGRESS →
-COMPLETED/FAILED lifecycle. A hosted viewer would be wired by POSTing
-each spool batch from the executor (the `post_url` seam below,
-import-try gated — no network in this container); the on-disk layout
-is the same events-with-idx contract.
+sink is a `foreachPartition` spool — every partition writes its rows
+as JSONL events to a deterministically-named file under the session
+directory, and the session manifest tracks the reference's STARTED →
+INPROGRESS → COMPLETED/FAILED lifecycle. A hosted viewer would be
+wired by POSTing each spool batch from the executor (the same seam;
+no network in this container), keeping the on-disk layout as the
+events-with-idx contract.
 
-Scale note: one file per partition, append-only, no driver collect and
-no shuffle — the only cross-node traffic a real deployment would add
-is the HTTP POST itself. Row idx is zipWithIndex-style only when the
-caller asks (`ensure_idx`), because a global contiguous index is a
-two-pass operation; pipelines that already carry `doc_id`/`url` skip
-it.
+Delivery semantics: each partition writes to a temp file and
+atomically renames to `responses_<partitionId>.jsonl` on success —
+a retried or speculative task attempt overwrites rather than
+duplicates (last successful attempt wins), matching the exactly-once
+discipline of the repo's other sinks. Each `stream_responses` call
+spools into its own `batch_NNNN/` subdirectory, so its return value
+counts exactly the rows it streamed even when a session accumulates
+multiple batches.
+
+Scale note: one file per partition, no driver collect and no shuffle —
+the only cross-node traffic a real deployment would add is the HTTP
+POST itself. Row idx is only synthesized when the caller asks
+(`ensure_idx`); pipelines that already carry `doc_id`/`url` skip it.
 """
 
 from __future__ import annotations
@@ -43,6 +50,7 @@ class ViewerSession:
         self.session_id = uuid.uuid4().hex
         self.dir = os.path.join(root_dir, self.session_id)
         os.makedirs(self.dir, exist_ok=True)
+        self._n_batches = 0
         self._write_manifest(self.STARTED, metadata or {})
 
     def _write_manifest(self, status: str, metadata: dict | None = None):
@@ -62,22 +70,29 @@ class ViewerSession:
         idx_col: str | None = None,
         ensure_idx: bool = False,
     ) -> int:
-        """Spool every row as a viewer event; returns the event count."""
+        """Spool every row as a viewer event; returns THIS call's
+        event count."""
         self._write_manifest(self.INPROGRESS)
         if ensure_idx and idx_col is None:
             idx_col = "__viewer_idx"
             # monotonically_increasing_id is partition-local-contiguous:
             # stable, no extra pass, fine as a viewer ordering key.
             df = df.withColumn(idx_col, F.monotonically_increasing_id())
-        out_dir = self.dir
+        batch_dir = os.path.join(self.dir, f"batch_{self._n_batches:04d}")
+        self._n_batches += 1
+        os.makedirs(batch_dir, exist_ok=True)
         cols = df.columns
         key = idx_col
 
         def spool(rows):
-            pid = os.getpid()
-            path = os.path.join(out_dir, f"responses_{pid}_{uuid.uuid4().hex[:8]}.jsonl")
+            from pyspark import TaskContext
+
+            ctx = TaskContext.get()
+            pid = ctx.partitionId() if ctx else 0
+            final = os.path.join(batch_dir, f"responses_{pid:05d}.jsonl")
+            tmp = f"{final}.attempt-{uuid.uuid4().hex[:8]}"
             n = 0
-            with open(path, "a", encoding="utf-8") as f:
+            with open(tmp, "w", encoding="utf-8") as f:
                 for row in rows:
                     d = row.asDict(recursive=True)
                     event = {
@@ -86,8 +101,10 @@ class ViewerSession:
                     }
                     f.write(json.dumps(event, default=str, sort_keys=True) + "\n")
                     n += 1
-            if n == 0 and os.path.exists(path):
-                os.remove(path)
+            if n:
+                os.replace(tmp, final)  # atomic: retries overwrite
+            else:
+                os.remove(tmp)
 
         try:
             df.foreachPartition(spool)
@@ -96,18 +113,24 @@ class ViewerSession:
             raise
         n_events = sum(
             1
-            for fn in os.listdir(self.dir)
-            if fn.startswith("responses_")
-            for _ in open(os.path.join(self.dir, fn), encoding="utf-8")
+            for fn in os.listdir(batch_dir)
+            if fn.startswith("responses_") and fn.endswith(".jsonl")
+            for _ in open(os.path.join(batch_dir, fn), encoding="utf-8")
         )
         self._write_manifest(self.COMPLETED)
         return n_events
 
     def read_events(self) -> list[dict]:
+        """All events across every batch of the session, batch order
+        then partition order."""
         events = []
-        for fn in sorted(os.listdir(self.dir)):
-            if not fn.startswith("responses_"):
+        for batch in sorted(os.listdir(self.dir)):
+            bdir = os.path.join(self.dir, batch)
+            if not batch.startswith("batch_") or not os.path.isdir(bdir):
                 continue
-            with open(os.path.join(self.dir, fn), encoding="utf-8") as f:
-                events.extend(json.loads(line) for line in f)
+            for fn in sorted(os.listdir(bdir)):
+                if not (fn.startswith("responses_") and fn.endswith(".jsonl")):
+                    continue
+                with open(os.path.join(bdir, fn), encoding="utf-8") as f:
+                    events.extend(json.loads(line) for line in f)
         return events

@@ -95,18 +95,25 @@ def run_multiturn(
         respond, completed = agent.respond, agent.is_completed
 
         @F.pandas_udf(StringType())
-        def reply_udf(hist: pd.Series) -> pd.Series:
+        def reply_udf(hist: pd.Series, done: pd.Series) -> pd.Series:
             # hist: per-row list of {'role','content'} dicts. The
             # responder sees the full history — one vectorized batch
             # per Arrow chunk; a real model backend would score the
-            # whole batch at once here.
+            # whole batch at once here. The done flag is checked
+            # INSIDE the UDF: Catalyst hoists Python UDFs out of
+            # CASE WHEN into an unconditional ArrowEvalPython node, so
+            # a `when(~done, udf(...))` guard would still invoke the
+            # responder on every finished row (wasted model calls, and
+            # a responder that chokes on a closed history would crash
+            # rows that are already done).
             return pd.Series(
-                [respond([dict(m) for m in h]) for h in hist]
+                [
+                    None if d else respond([dict(m) for m in h])
+                    for h, d in zip(hist, done)
+                ]
             )
 
-        open_reply = F.when(
-            ~F.col("done"), reply_udf(F.col("history"))
-        )
+        open_reply = reply_udf(F.col("history"), F.col("done"))
         conv = (
             conv.withColumn("_reply", open_reply)
             .withColumn(

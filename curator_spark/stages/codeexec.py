@@ -76,37 +76,66 @@ def _run_one(code: str, code_input: str, timeout: float, mem_mb: int) -> dict:
 
         t0 = time.monotonic()
         try:
-            r = subprocess.run(
+            # start_new_session: the program runs as its own process
+            # GROUP, so the timeout path can killpg the whole tree — a
+            # plain kill of program.py leaves forked grandchildren
+            # holding the stdout/stderr pipes, and the subsequent
+            # communicate() would block forever (defeating the
+            # wall-clock bound, the one job this stage has).
+            proc = subprocess.Popen(
                 [sys.executable, "program.py"],
-                input=code_input or "",
+                stdin=subprocess.PIPE,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
                 text=True,
-                capture_output=True,
-                timeout=timeout,
                 cwd=d,
                 preexec_fn=_limits if os.name == "posix" else None,
+                start_new_session=os.name == "posix",
             )
+            try:
+                stdout, stderr = proc.communicate(
+                    input=code_input or "", timeout=timeout
+                )
+            except subprocess.TimeoutExpired as te:
+                import signal
+
+                try:
+                    if os.name == "posix":
+                        os.killpg(proc.pid, signal.SIGKILL)
+                    else:
+                        proc.kill()
+                except ProcessLookupError:
+                    pass
+                # partial output up to the kill still matters — it is
+                # exactly the diagnostic a hung generated program left
+                # behind (reference returns it too).
+                proc.wait()
+                stdout = te.stdout if isinstance(te.stdout, str) else (
+                    te.stdout.decode("utf-8", "replace") if te.stdout else None
+                )
+                stderr = te.stderr if isinstance(te.stderr, str) else (
+                    te.stderr.decode("utf-8", "replace") if te.stderr else None
+                )
+                return {
+                    "message": "timeout",
+                    "stdout": stdout,
+                    "stderr": stderr,
+                    "error": f"Execution timed out after {timeout}s",
+                    "exit_code": None,
+                    "files": [],
+                    "exec_sec": round(time.monotonic() - t0, 4),
+                }
             created = sorted(
                 f for f in os.listdir(d) if f != "program.py"
             )
+            rc = proc.returncode
             return {
-                "message": "success" if r.returncode == 0 else "error",
-                "stdout": r.stdout,
-                "stderr": r.stderr,
-                "error": None if r.returncode == 0 else (
-                    f"exit status {r.returncode}"
-                ),
-                "exit_code": int(r.returncode),
+                "message": "success" if rc == 0 else "error",
+                "stdout": stdout,
+                "stderr": stderr,
+                "error": None if rc == 0 else f"exit status {rc}",
+                "exit_code": int(rc),
                 "files": created,
-                "exec_sec": round(time.monotonic() - t0, 4),
-            }
-        except subprocess.TimeoutExpired:
-            return {
-                "message": "timeout",
-                "stdout": None,
-                "stderr": None,
-                "error": f"Execution timed out after {timeout}s",
-                "exit_code": None,
-                "files": [],
                 "exec_sec": round(time.monotonic() - t0, 4),
             }
         except Exception as e:  # spawn failure etc.
