@@ -640,13 +640,19 @@ def main() -> None:
                 else f"all_pairs_steal_corrected({len(pairs)})"
             ),
             "clean_pairs": len(clean),
+            "n_pairs": len(pairs),
+            # per-pair diagnostics capped at the LAST 4 pairs (stormy
+            # rounds can run up to reps+5 pairs; uncapped arrays would
+            # push the JSON line past the driver's 2000-char
+            # stdout-tail window and the gate would fail to PARSE —
+            # the scalar gate fields above always survive)
             "pair_samples_raw": [
                 [int(p["mean_small"]), int(p["mean_big"])]
-                for p in pairs
+                for p in pairs[-4:]
             ],
-            "pair_efficiencies_raw": [round(e, 3) for e in raw_effs],
+            "pair_efficiencies_raw": [round(e, 3) for e in raw_effs[-4:]],
             "pair_efficiencies_steal_corrected": [
-                round(e, 3) for e in corr_effs
+                round(e, 3) for e in corr_effs[-4:]
             ],
             # per pair: [busy_n, steal_n, busy_4n, steal_4n (CPUs),
             # clean(0/1), corr_capped(0/1)] — compact array form so the
@@ -661,7 +667,7 @@ def main() -> None:
                     int(steal_frac(p) < CLEAN_STEAL),
                     int(p["corr_capped"]),
                 ]
-                for p in pairs
+                for p in pairs[-4:]
             ],
             # full protocol rationale: module docstring + BENCH/BASELINE.md
             "estimator": (
@@ -674,7 +680,19 @@ def main() -> None:
         if failed_pairs:
             result["pipeline"]["failed_pairs"] = failed_pairs
 
-    print(json.dumps(result))
+    # Last-resort length guard: the driver archives only the last
+    # ~2000 chars of stdout, and the JSON line must survive intact
+    # with the gate fields parseable. Strip diagnostics
+    # (coarsest-first) until the line fits with margin for the
+    # progress-bar fragments that share the tail window.
+    line = json.dumps(result)
+    for drop in ("pair_cpu_diag", "pair_samples_raw", "query_steal_frac"):
+        if len(line) <= 1900:
+            break
+        result.get("pipeline", {}).pop(drop, None)
+        result.pop(drop, None)
+        line = json.dumps(result)
+    print(line)
 
 
 if __name__ == "__main__":
