@@ -12,6 +12,10 @@ tests/test_queries_oracle.py, still benchmarked — just not submitted
 to the driver's capped window).
 
 Demotion rationale per extra query:
+- decontaminate_hashed: byte-identical output to decontaminate via an
+  8-byte xxhash64 broadcast prefilter + exact confirm — the 100 TB
+  broadcast-width variant; the measured window already verifies the
+  semantics through decontaminate itself.
 - langid_docs / perplexity_docs: per-doc model outputs, rows-only at
   the driver; superseded in the measured set by `model_scores_pinned`
   (hash-verified integer aggregates of the same two model stages).
@@ -114,6 +118,7 @@ MEASURED = [
 
 EXTRA = [
     "quality_full_text",
+    "decontaminate_hashed",
     "langid_docs",
     "perplexity_docs",
     "lang_distribution",

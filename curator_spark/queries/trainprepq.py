@@ -100,6 +100,47 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`decontaminate` with an 8-BYTE-KEY broadcast prefilter — the
+    100 TB-corpus shape of exact decontamination. q_decontaminate
+    broadcasts the eval shingle STRINGS — at a realistic benchmark
+    suite's ~10^7 distinct shingles × ~30-60 bytes, hundreds of MB
+    shipped to and hashed on every executor. Here the broadcast is
+    xxhash64(s) longs — 8 bytes per
+    shingle, 5–20× narrower — and the corpus shingle stream probes it
+    without shuffling, exactly as before. Hashing has no false
+    negatives, so recall is exact; the (tiny) candidate hit stream
+    then CONFIRMS on the real strings via one ordinary join against
+    the eval set — collision-proof, so the output is byte-identical
+    to q_decontaminate (same oracle). The confirm exchange carries
+    |candidates| + |eval shingles| rows, trivial next to the corpus
+    scan; AQE broadcasts it outright when the candidate set is small.
+    """
+    d = spread(t(spark, sf_dir, "documents"), spark)
+    sh = d.select(
+        "doc_id",
+        F.explode(_shingles(_words(F.col("text")), NGRAM)).alias("s"),
+    )
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    eval_h = sh.filter(is_eval).select(F.xxhash64("s").alias("h")).distinct()
+    cand = (
+        sh.filter(~is_eval)
+        .join(F.broadcast(eval_h), F.xxhash64("s") == F.col("h"), "left_semi")
+        .select("doc_id", "s")
+    )
+    eval_s = sh.filter(is_eval).select("s").distinct()
+    hits = (
+        cand.join(eval_s, "s", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    train = d.filter(~is_eval).select("doc_id")
+    return train.join(hits, "doc_id", "left").select(
+        "doc_id", F.coalesce("contaminated", F.lit(False)).alias("contaminated")
+    )
+
+
 SQL_DECONTAMINATE = f"""
 WITH ws AS ({SQL_WS_CTE}),
 sh AS (
@@ -446,6 +487,7 @@ SELECT doc_id, drop_stage, drop_stage IS NULL AS final_keep FROM staged
 
 QUERIES = {
     "decontaminate": q_decontaminate,
+    "decontaminate_hashed": q_decontaminate_hashed,
     "decontaminate_fuzzy": q_decontaminate_fuzzy,
     "curation_e2e": q_curation_e2e,
     "sample_stratified": q_sample_stratified,
@@ -455,6 +497,8 @@ QUERIES = {
 
 ORACLES = {
     "decontaminate": SQL_DECONTAMINATE,
+    # identical output by construction (hash prefilter + exact confirm)
+    "decontaminate_hashed": SQL_DECONTAMINATE,
     "decontaminate_fuzzy": SQL_DECONTAMINATE_FUZZY,
     "curation_e2e": sql_curation_e2e(),
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
