@@ -175,13 +175,29 @@ def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(_shingles2(_words(F.col("text")))).alias("sh")
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    inter = (
-        sh.alias("a")
-        .join(sh.alias("b"), "sh")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    # co-occurrence via bucket grouping, NOT a shingle self-join (same
+    # shape as q_dedup_minhash_lsh's bucket expansion): a self-join
+    # recomputes the whole shingle pipeline for both sides and pushes
+    # every hot shingle's rows through the join shuffle TWICE before
+    # expanding q² pairs; grouping runs the pipeline once, shuffles
+    # each (shingle, doc) row once, and expands the q² pairs inside
+    # the (duplicate-group-sized) bucket with map-side partial
+    # aggregation of the per-pair counts.
+    ids = F.col("ids")
+    pairs_in_bucket = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
+    )
+    inter = (
+        sh.groupBy("sh")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .select(F.explode(pairs_in_bucket).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("n_common"))
     )
     jac = (
