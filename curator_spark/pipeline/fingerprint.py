@@ -26,14 +26,22 @@ from curator_spark.config import QualityConfig
 
 
 def input_identity(path: str) -> str:
-    """Stable identity of an input directory: sorted (name, size) pairs."""
+    """Stable identity of an input directory: sorted (name, size,
+    mtime_ns) triples. mtime is included because (name, size) alone
+    would serve stale cached output for a file regenerated in place
+    with different content but the same byte size (fixed-width
+    shards); an in-place rewrite with identical bytes merely
+    over-invalidates, which the module contract allows."""
     entries = []
     for root, _dirs, files in os.walk(path):
         for f in sorted(files):
             if f.startswith(("_", ".")):
                 continue
             fp = os.path.join(root, f)
-            entries.append(f"{os.path.relpath(fp, path)}:{os.path.getsize(fp)}")
+            st = os.stat(fp)
+            entries.append(
+                f"{os.path.relpath(fp, path)}:{st.st_size}:{st.st_mtime_ns}"
+            )
     return ";".join(sorted(entries))
 
 

@@ -26,7 +26,9 @@ written (column-pruned) output, never by re-running UDFs.
 
 from __future__ import annotations
 
+import json
 import os
+import shutil
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
 
@@ -189,18 +191,37 @@ class QualityPipeline:
         lineage counters keep their original processing values (they
         are a processing log, not a live row count); the replacing
         manifest records `deleted_rows`."""
-        hashed = with_bucket(
-            spark.createDataFrame([(u,) for u in urls], "url string"),
-            self.cfg.n_buckets,
-        )
-        buckets = sorted({r["bucket_id"] for r in hashed.collect()})
         pred = (lambda m: m.get("run_fingerprint") == fp) if fp else None
+        # bucket pruning must hash with EVERY n_buckets present among
+        # the targeted commits (configs with different bucket counts
+        # coexist in one table under different fingerprints): hashing
+        # only with the CURRENT config would miss the other layouts'
+        # partitions and silently leave their rows in place. The union
+        # over layouts only weakens pruning, never correctness.
+        nbs = {
+            json.loads(c["meta"]["config"]).get(
+                "n_buckets", self.cfg.n_buckets
+            )
+            for c in self.table.active_commits()
+            if "config" in c["meta"] and (pred is None or pred(c["meta"]))
+        } or {self.cfg.n_buckets}
+        keys = spark.createDataFrame([(u,) for u in urls], "url string")
+        buckets = sorted(
+            {
+                r["bucket_id"]
+                for nb in nbs
+                for r in with_bucket(keys, nb).select("bucket_id").collect()
+            }
+        )
+        # anti-join delete, not an isin literal: a 100k-url takedown
+        # list must not be embedded into every rewrite plan
         return self.table.delete_where(
             spark,
-            F.col("url").isin(list(urls)),
             partition_values=buckets,
             predicate=pred,
             meta_note="delete_urls",
+            anti_keys=keys,
+            key_col="url",
         )
 
     def read_output(self, spark: SparkSession, fp: str) -> DataFrame | None:
@@ -245,7 +266,24 @@ class QualityPipeline:
         if max_buckets is not None:
             todo = todo[:max_buckets]
         if not todo:
+            # strictness survives the cache: the first strict run
+            # commits its buckets BEFORE raising on quarantined rows
+            # (the commit is the inspection artifact), so a bare
+            # cached=True here would let a retry mask the violation
+            # forever — re-raise from the recorded failed_rows instead.
+            prior_failed = sum(
+                c["meta"].get("failed_rows", 0)
+                for c in self.table.active_commits()
+                if c["meta"].get("run_fingerprint") == fp
+            )
+            if cfg.require_all_rows and prior_failed:
+                raise RuntimeError(
+                    f"{prior_failed} rows failed extraction in committed "
+                    "runs of this fingerprint and require_all_rows is set "
+                    "(quarantined alongside their stage dirs)"
+                )
             return RunResult(fingerprint=fp, cached=True,
+                             failed_rows=prior_failed,
                              snapshot_id=self.table.current_snapshot_id())
 
         pages = spark.read.parquet(input_path)
@@ -268,8 +306,13 @@ class QualityPipeline:
             n_failed = spark.read.parquet(stage_dir + "_failed").count()
 
         # lineage counters from the committed bytes (column-pruned re-read;
-        # never re-runs the UDFs)
-        written = spark.read.parquet(stage_dir)
+        # never re-runs the UDFs). Explicit schema: when EVERY row was
+        # quarantined (or the resume slice held no rows) the stage dir
+        # has only _SUCCESS, and schema inference would raise
+        # UNABLE_TO_INFER_SCHEMA — with the plan's own schema the read
+        # is simply empty and the zero-row bucket bookkeeping below
+        # still commits the buckets as done.
+        written = spark.read.schema(out.schema).parquet(stage_dir)
         per_bucket = (
             written.groupBy("bucket_id")
             .agg(
@@ -311,17 +354,26 @@ class QualityPipeline:
                  "scrub_counts": {"emails": 0, "ids": 0, "phones": 0, "toxic": 0}},
             )
 
-        sid = self.table.commit(
-            stage_dir,
-            {
-                "run_fingerprint": fp,
-                "input_path": input_path,
-                "config": cfg.stable_json(),
-                "buckets": buckets_meta,
-                "failed_rows": n_failed,
-                "committed_at": datetime.now(timezone.utc).isoformat(),
-            },
+        meta = {
+            "run_fingerprint": fp,
+            "input_path": input_path,
+            "config": cfg.stable_json(),
+            "buckets": buckets_meta,
+            "failed_rows": n_failed,
+            "committed_at": datetime.now(timezone.utc).isoformat(),
+        }
+        has_parquet = any(
+            f.endswith(".parquet")
+            for _, _, fs in os.walk(stage_dir) for f in fs
         )
+        if has_parquet:
+            sid = self.table.commit(stage_dir, meta)
+        else:
+            # all rows quarantined: commit the bucket bookkeeping with
+            # ZERO data parts (an empty data dir would crash the read
+            # path's schema discovery) and drop the empty stage dir
+            sid = self.table.commit_parts([], meta)
+            shutil.rmtree(stage_dir, ignore_errors=True)
 
         docs_seen = sum(b["docs_seen"] for b in buckets_meta.values())
         docs_kept = sum(b["docs_kept"] for b in buckets_meta.values())

@@ -124,16 +124,38 @@ class SnapshotTable:
         `operation` field): append | replace | delete | overwrite —
         incremental readers dispatch on it.
         """
-        sid = self.current_snapshot_id() + 1
         rel = os.path.relpath(data_path, self.root)
-        payload = {"snapshot_id": sid, "data": rel, "meta": meta, "op": op}
+        payload = {"data": rel, "meta": meta, "op": op}
         if replaces:
             payload["replaces"] = sorted(int(s) for s in replaces)
+        return self._publish(payload)
+
+    def _publish(self, payload: dict[str, Any]) -> int:
+        """Claim the next snapshot id and publish its manifest with a
+        CREATE-EXCLUSIVE link — a plain rename would silently clobber a
+        concurrent writer's same-sid manifest (two writers both read
+        current=N, both commit N+1; POSIX rename overwrites, losing the
+        first commit's data into orphan-GC). os.link fails with EEXIST
+        on collision, so the loser re-reads the current id and retries
+        under the next one — both commits land."""
         tmp = os.path.join(self.manifest_dir, f".tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w") as fh:
-            json.dump(payload, fh)
-        os.rename(tmp, os.path.join(self.manifest_dir, f"v{sid:06d}.json"))
-        return sid
+        try:
+            for _ in range(1000):  # bound: concurrent-writer collisions
+                sid = self.current_snapshot_id() + 1
+                payload["snapshot_id"] = sid
+                with open(tmp, "w") as fh:
+                    json.dump(payload, fh)
+                try:
+                    os.link(
+                        tmp, os.path.join(self.manifest_dir, f"v{sid:06d}.json")
+                    )
+                    return sid
+                except FileExistsError:
+                    continue
+            raise RuntimeError("could not claim a snapshot id (1000 collisions)")
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
 
     def append(self, df: DataFrame, meta: dict[str, Any], partition_by: list[str] | None = None) -> str:
         """Write df to a fresh staged dir, then commit it. Returns data dir."""
@@ -196,15 +218,78 @@ class SnapshotTable:
             op="replace",
         )
 
+    def _classify_parts(
+        self, c: dict[str, Any], partition_col: str, wanted: set[str] | None
+    ) -> tuple[list[tuple[str, str]], list[dict[str, str]]]:
+        """Split a commit's parts into (affected [(dir, basePath)...],
+        untouched [manifest part refs...]) for a COW rewrite targeting
+        the `wanted` partition-dir names (None = everything affected).
+
+        A part whose own basename IS a `{partition_col}=v` directory —
+        i.e. a partition carried forward BY REFERENCE from an earlier
+        rewrite — is matched against `wanted` directly: it has no
+        nested partition dirs, and classifying it "unpartitioned ⇒
+        affected" (the pre-r4 behavior) silently re-read and rewrote
+        every previously-carried partition on each subsequent
+        delete/merge, degrading toward O(table) per operation."""
+        affected: list[tuple[str, str]] = []
+        untouched: list[dict[str, str]] = []
+
+        def carry(path: str, base: str) -> None:
+            untouched.append(
+                {
+                    "path": os.path.relpath(path, self.root),
+                    "base": os.path.relpath(base, self.root),
+                }
+            )
+
+        for path, base in self._parts(c):
+            name = os.path.basename(os.path.normpath(path))
+            if name.startswith(f"{partition_col}="):
+                if wanted is None or name in wanted:
+                    affected.append((path, base))
+                else:
+                    carry(path, base)
+                continue
+            subdirs = [
+                d for d in sorted(os.listdir(path))
+                if d.startswith(f"{partition_col}=")
+                and os.path.isdir(os.path.join(path, d))
+            ] if os.path.isdir(path) else []
+            if wanted is None or not subdirs:
+                # unpartitioned part (or no pruning info): all affected
+                affected.append((path, base))
+                continue
+            for d in subdirs:
+                full = os.path.join(path, d)
+                if d in wanted:
+                    affected.append((full, base))
+                else:
+                    carry(full, base)
+        return affected, untouched
+
+    @staticmethod
+    def _read_dirs(spark: SparkSession, pairs: list[tuple[str, str]]):
+        """Union the (dir, basePath) pairs grouped by basePath — one
+        scan per base so partition-column discovery stays consistent."""
+        df = None
+        for base in sorted({b for _, b in pairs}):
+            dirs = [p for p, b in pairs if b == base]
+            part_df = spark.read.option("basePath", base).parquet(*dirs)
+            df = part_df if df is None else df.unionByName(part_df)
+        return df
+
     # -- row-level delete (copy-on-write) ------------------------------------
     def delete_where(
         self,
         spark: SparkSession,
-        condition,
+        condition=None,
         partition_values: list | None = None,
         partition_col: str = "bucket_id",
         predicate=None,
         meta_note: str = "delete",
+        anti_keys: DataFrame | None = None,
+        key_col: str = "url",
     ) -> dict[str, Any]:
         """Row-level DELETE with partition-granularity copy-on-write —
         the Iceberg `DELETE FROM ... WHERE` analog (COW mode). Rows
@@ -223,9 +308,19 @@ class SnapshotTable:
         current). With `partition_values=None` affected commits are
         rewritten wholesale (unpartitioned fallback).
 
+        With `anti_keys` (a DataFrame of keys to delete), the rewrite
+        is a LEFT ANTI JOIN on `key_col` instead of a `condition`
+        filter — the scale path for large delete lists, where an
+        `isin` literal would bloat every rewrite plan (same rule as
+        merge_upsert's key handling). Exactly one of `condition` /
+        `anti_keys` must be given.
+
         Returns {"deleted_rows": n, "new_snapshots": [...],
         "rewritten_dirs": m}.
         """
+        assert (condition is None) != (anti_keys is None), (
+            "exactly one of condition / anti_keys"
+        )
         deleted = 0
         new_snaps: list[int] = []
         rewritten = 0
@@ -234,49 +329,31 @@ class SnapshotTable:
             if partition_values is None
             else {f"{partition_col}={v}" for v in partition_values}
         )
+        keys = (
+            anti_keys.select(key_col).distinct() if anti_keys is not None
+            else None
+        )
         for c in self.active_commits():
             if predicate is not None and not predicate(c["meta"]):
                 continue
-            affected: list[tuple[str, str]] = []  # (dir, basePath)
-            untouched: list[dict[str, str]] = []  # manifest part refs
-            for path, base in self._parts(c):
-                subdirs = [
-                    d for d in sorted(os.listdir(path))
-                    if d.startswith(f"{partition_col}=")
-                    and os.path.isdir(os.path.join(path, d))
-                ] if os.path.isdir(path) else []
-                if wanted is None or not subdirs:
-                    # unpartitioned part (or no pruning info): all affected
-                    affected.append((path, base))
-                    continue
-                for d in subdirs:
-                    full = os.path.join(path, d)
-                    if d in wanted:
-                        affected.append((full, base))
-                    else:
-                        untouched.append(
-                            {
-                                "path": os.path.relpath(full, self.root),
-                                "base": os.path.relpath(base, self.root),
-                            }
-                        )
+            affected, untouched = self._classify_parts(c, partition_col, wanted)
             if not affected:
                 continue  # commit untouched, manifest stays current
             # one read+filter+rewrite per affected basePath group
             stage = self.stage_dir()
-            df = None
-            for base in sorted({b for _, b in affected}):
-                dirs = [p for p, b in affected if b == base]
-                part_df = spark.read.option("basePath", base).parquet(*dirs)
-                df = part_df if df is None else df.unionByName(part_df)
+            df = self._read_dirs(spark, affected)
             before = df.count()
             # SQL DELETE semantics: rows where the condition is NULL
             # are KEPT (a bare ~condition would drop them — e.g. a
             # NULL-url row in an affected bucket when deleting by url
-            # list; ADVICE r1).
+            # list; ADVICE r1). The anti-join path keeps NULL-key rows
+            # for free (NULL never equi-matches).
             from pyspark.sql import functions as F
 
-            kept = df.filter(~F.coalesce(condition, F.lit(False)))
+            if keys is not None:
+                kept = df.join(keys, key_col, "left_anti")
+            else:
+                kept = df.filter(~F.coalesce(condition, F.lit(False)))
             writer = kept.write.mode("overwrite")
             if wanted is not None:
                 writer = writer.partitionBy(partition_col)
@@ -349,40 +426,16 @@ class SnapshotTable:
         for c in self.active_commits():
             if predicate is not None and not predicate(c["meta"]):
                 continue
-            hit = False
-            this_untouched: list[dict[str, str]] = []
-            for path, base in self._parts(c):
-                subdirs = [
-                    d for d in sorted(os.listdir(path))
-                    if d.startswith(f"{partition_col}=")
-                    and os.path.isdir(os.path.join(path, d))
-                ] if os.path.isdir(path) else []
-                if not subdirs:
-                    affected_dirs.append((path, base))
-                    hit = True
-                    continue
-                for d in subdirs:
-                    full = os.path.join(path, d)
-                    if d in wanted:
-                        affected_dirs.append((full, base))
-                        hit = True
-                    else:
-                        this_untouched.append(
-                            {
-                                "path": os.path.relpath(full, self.root),
-                                "base": os.path.relpath(base, self.root),
-                            }
-                        )
-            if hit:
+            this_affected, this_untouched = self._classify_parts(
+                c, partition_col, wanted
+            )
+            if this_affected:
+                affected_dirs.extend(this_affected)
                 affected_sids.append(c["snapshot_id"])
                 untouched.extend(this_untouched)
                 metas.append(c["meta"])
 
-        old = None
-        for base in sorted({b for _, b in affected_dirs}):
-            dirs = [p for p, b in affected_dirs if b == base]
-            part_df = spark.read.option("basePath", base).parquet(*dirs)
-            old = part_df if old is None else old.unionByName(part_df)
+        old = self._read_dirs(spark, affected_dirs)
         keys = updates.select(key_col).distinct()
         merged = updates if old is None else (
             old.join(keys, key_col, "left_anti").unionByName(updates)
@@ -390,10 +443,25 @@ class SnapshotTable:
         stage = self.stage_dir()
         merged.write.mode("overwrite").partitionBy(partition_col).parquet(stage)
 
-        meta = (
-            meta_merge(metas) if (meta_merge and metas)
-            else (dict(metas[0]) if metas else {})
-        )
+        if meta_merge and metas:
+            meta = meta_merge(metas)
+        elif metas:
+            # default merge must UNION the replaced commits' resume
+            # bookkeeping: keeping only metas[0] would drop the other
+            # commits' `buckets`, so a later run() of the same
+            # fingerprint reprocesses them and appends duplicates.
+            meta = dict(metas[0])
+            if len(metas) > 1:
+                buckets: dict[str, Any] = {}
+                failed = 0
+                for m in metas:
+                    buckets.update(m.get("buckets", {}))
+                    failed += m.get("failed_rows", 0)
+                if buckets or any("buckets" in m for m in metas):
+                    meta["buckets"] = buckets
+                meta["failed_rows"] = failed
+        else:
+            meta = {}
         meta["merge"] = meta_note
         parts = [{"path": os.path.relpath(stage, self.root),
                   "base": os.path.relpath(stage, self.root)}] + untouched
@@ -411,17 +479,10 @@ class SnapshotTable:
         """Commit a multi-part snapshot (list of {path, base} refs,
         root-relative). Used by copy-on-write rewrites that carry
         untouched partition directories forward by reference."""
-        sid = self.current_snapshot_id() + 1
-        payload: dict[str, Any] = {
-            "snapshot_id": sid, "parts": parts, "meta": meta, "op": op,
-        }
+        payload: dict[str, Any] = {"parts": parts, "meta": meta, "op": op}
         if replaces:
             payload["replaces"] = sorted(int(s) for s in replaces)
-        tmp = os.path.join(self.manifest_dir, f".tmp-{uuid.uuid4().hex}")
-        with open(tmp, "w") as fh:
-            json.dump(payload, fh)
-        os.rename(tmp, os.path.join(self.manifest_dir, f"v{sid:06d}.json"))
-        return sid
+        return self._publish(payload)
 
     # -- read path -----------------------------------------------------------
     def _parts(self, c: dict[str, Any]) -> list[tuple[str, str]]:
@@ -746,6 +807,12 @@ class SnapshotTable:
         for top in sorted(os.listdir(self.data_dir)):
             top_path = os.path.join(self.data_dir, top)
             if not os.path.isdir(top_path):
+                continue
+            if top.endswith("_failed"):
+                # quarantine dirs (run.py's failed-extraction spill) are
+                # intentionally manifest-less — the run's error message
+                # points users at them — so orphan GC must never treat
+                # them as abandoned stage dirs.
                 continue
             if not referenced(top_path):
                 if removable(top_path):
