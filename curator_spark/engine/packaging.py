@@ -16,7 +16,7 @@ import zipfile
 
 import curator_spark
 
-_SHIPPED: dict[int, str] = {}
+_SHIPPED: dict[str, str] = {}  # applicationId -> shipped zip path
 
 
 def build_pyfiles_zip(dest_dir: str | None = None) -> str:
@@ -45,7 +45,10 @@ def ship_package(spark) -> None:
     if ".zip" in os.path.abspath(curator_spark.__file__):
         return
     sc = spark.sparkContext
-    key = id(sc)
+    # applicationId, not id(sc): a stopped context's id() can be reused
+    # by the next SparkContext allocation, which would silently skip
+    # shipping the zip to the new context's executors.
+    key = sc.applicationId
     if key in _SHIPPED:
         return
     zip_path = build_pyfiles_zip()

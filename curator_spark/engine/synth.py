@@ -127,7 +127,17 @@ def make_row(i: int, seed: int = 42) -> dict:
 
 def generate_pages(spark, n_rows: int, seed: int = 42, with_profile: bool = False):
     """Distributed deterministic generation: mapInPandas over spark.range."""
-    schema = PAGES if not with_profile else PAGES.add("profile", "string")
+    # StructType.add MUTATES in place — PAGES.add(...) would grow the
+    # shared module-global schema for every later reader (and a second
+    # call would add a duplicate field); build a fresh StructType.
+    if with_profile:
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        schema = StructType(
+            list(PAGES.fields) + [StructField("profile", StringType())]
+        )
+    else:
+        schema = PAGES
     cols = [f.name for f in schema.fields]
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

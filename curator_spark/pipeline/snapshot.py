@@ -27,6 +27,42 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _merge_metas_default(metas: list[dict[str, Any]]) -> dict[str, Any]:
+    """Default metadata merge for rewrites that replace SEVERAL
+    commits (compact / merge_upsert without a caller meta_merge).
+    Keeping only metas[0] (the pre-r4 behavior) silently dropped the
+    other commits' bookkeeping, with two concrete corruptions:
+    - resume: a later run() of the same fingerprint missed the dropped
+      `buckets` and re-appended their rows (duplicates);
+    - streaming exactly-once: a replayed micro-batch missed its
+      (stream_lineage, stream_batch_id) key and re-appended.
+    Unions `buckets` and `failed_rows`, and carries EVERY replaced
+    commit's streaming key forward as `stream_batches` [[lineage, id]]
+    (make_snapshot_batch_committer checks that list alongside the
+    per-commit keys)."""
+    meta = dict(metas[0])
+    if len(metas) <= 1:
+        return meta
+    buckets: dict[str, Any] = {}
+    failed = 0
+    stream: set[tuple[str, int]] = set()
+    for m in metas:
+        buckets.update(m.get("buckets", {}))
+        failed += m.get("failed_rows", 0)
+        if "stream_lineage" in m:
+            stream.add((m["stream_lineage"], int(m["stream_batch_id"])))
+        for pair in m.get("stream_batches", []):
+            stream.add((pair[0], int(pair[1])))
+    if buckets or any("buckets" in m for m in metas):
+        meta["buckets"] = buckets
+    meta["failed_rows"] = failed
+    if stream:
+        meta["stream_batches"] = sorted([l, b] for l, b in stream)
+        meta.pop("stream_lineage", None)
+        meta.pop("stream_batch_id", None)
+    return meta
+
+
 class SnapshotTable:
     def __init__(self, root: str):
         self.root = root
@@ -212,7 +248,7 @@ class SnapshotTable:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
         metas = [c["meta"] for c in victims]
-        meta = meta_merge(metas) if meta_merge else dict(metas[0])
+        meta = meta_merge(metas) if meta_merge else _merge_metas_default(metas)
         return self.commit(
             path, meta, replaces=[c["snapshot_id"] for c in victims],
             op="replace",
@@ -446,20 +482,7 @@ class SnapshotTable:
         if meta_merge and metas:
             meta = meta_merge(metas)
         elif metas:
-            # default merge must UNION the replaced commits' resume
-            # bookkeeping: keeping only metas[0] would drop the other
-            # commits' `buckets`, so a later run() of the same
-            # fingerprint reprocesses them and appends duplicates.
-            meta = dict(metas[0])
-            if len(metas) > 1:
-                buckets: dict[str, Any] = {}
-                failed = 0
-                for m in metas:
-                    buckets.update(m.get("buckets", {}))
-                    failed += m.get("failed_rows", 0)
-                if buckets or any("buckets" in m for m in metas):
-                    meta["buckets"] = buckets
-                meta["failed_rows"] = failed
+            meta = _merge_metas_default(metas)
         else:
             meta = {}
         meta["merge"] = meta_note

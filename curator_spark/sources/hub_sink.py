@@ -110,11 +110,15 @@ def push_to_hub_layout(
     os.rmdir(tmp_dir)
 
     # Card sample = first row (the reference serializes dataset[0],
-    # base_request_processor.py:577) — read back from the shards just
-    # written (one footer read) instead of re-executing the upstream
-    # DAG, which for a publish sink is typically the whole pipeline.
+    # base_request_processor.py:577) — read back from THIS SPLIT's
+    # first shard just written (one footer read): re-executing the
+    # upstream DAG would re-run the whole pipeline, and scanning all
+    # of data_dir would mix in other splits (whose schemas may not
+    # even union).
     sample_row = (
-        df.sparkSession.read.parquet(data_dir).limit(1).collect()
+        df.sparkSession.read.parquet(os.path.join(repo_dir, files[0]))
+        .limit(1)
+        .collect()
         if n
         else []
     )

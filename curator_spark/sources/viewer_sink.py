@@ -83,6 +83,13 @@ class ViewerSession:
         os.makedirs(batch_dir, exist_ok=True)
         cols = df.columns
         key = idx_col
+        # event count via an accumulator, not a driver-side listdir of
+        # the spool: on a multi-node cluster each executor's files land
+        # on ITS OWN filesystem, so the driver's listing would see only
+        # its local partitions and happily report 0/partial as
+        # COMPLETED. Accumulator updates inside an action are applied
+        # once per successful task, so retries don't double-count.
+        acc = df.sparkSession.sparkContext.accumulator(0)
 
         def spool(rows):
             from pyspark import TaskContext
@@ -105,18 +112,14 @@ class ViewerSession:
                 os.replace(tmp, final)  # atomic: retries overwrite
             else:
                 os.remove(tmp)
+            acc.add(n)
 
         try:
             df.foreachPartition(spool)
         except Exception:
             self._write_manifest(self.FAILED)
             raise
-        n_events = sum(
-            1
-            for fn in os.listdir(batch_dir)
-            if fn.startswith("responses_") and fn.endswith(".jsonl")
-            for _ in open(os.path.join(batch_dir, fn), encoding="utf-8")
-        )
+        n_events = acc.value
         self._write_manifest(self.COMPLETED)
         return n_events
 

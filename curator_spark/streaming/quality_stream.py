@@ -53,7 +53,25 @@ def score_stream(
     pages = reader.parquet(input_dir)
     pages = with_bucket(pages, cfg.n_buckets)
     pages = pages.withColumn("doc_text", F.col("text"))
+    # batch parity: staged_plan routes NULL/empty text to the sentinel
+    # quarantine bucket with drop_reason='extract_failed'; without the
+    # same guard here a NULL-text page would be fillna('')-scored and
+    # labeled by whatever the scorers say about empty text — the
+    # streaming face must emit the identical decision.
+    failed_pred = F.col("doc_text").isNull() | (F.col("doc_text") == "")
+    pages = pages.withColumn(
+        "bucket_id",
+        F.when(failed_pred, F.lit(-1)).otherwise(F.col("bucket_id")),
+    )
     scored = quality_plan(pages, cfg, text_col="doc_text")
+    is_failed = F.col("bucket_id") == -1
+    scored = scored.withColumn(
+        "keep", F.when(is_failed, F.lit(False)).otherwise(F.col("keep"))
+    ).withColumn(
+        "drop_reason",
+        F.when(is_failed, F.lit("extract_failed"))
+        .otherwise(F.col("drop_reason")),
+    )
     return scored.select("warc_ts", *OUT_COLS)
 
 
@@ -78,30 +96,68 @@ def run_available_now(
     return q
 
 
-def make_snapshot_batch_committer(table, lineage_id: str):
+def checkpoint_lineage(checkpoint_dir: str) -> str:
+    """Identity of a checkpoint's lineage: the streaming query id Spark
+    persists at `<ckpt>/metadata` on first start. Using the PATH string
+    (the pre-r4 behavior) broke exactly-once twice over: a DELETED
+    checkpoint at the same path restarted batch ids at 0 under the old
+    lineage key (new batches silently dropped as 'replays'), and two
+    spellings of one path ('ckpt' vs its abspath) made one checkpoint
+    two lineages (crash-replay under the other spelling re-appended).
+    Falls back to the absolute path only before the query has ever
+    started (no metadata file yet)."""
+    import json as _json
+    import os as _os
+
+    meta_file = _os.path.join(checkpoint_dir, "metadata")
+    try:
+        with open(meta_file, encoding="utf-8") as fh:
+            qid = _json.load(fh).get("id")
+            if qid:
+                return str(qid)
+    except OSError:
+        pass
+    return _os.path.abspath(checkpoint_dir)
+
+
+def make_snapshot_batch_committer(table, checkpoint_dir: str):
     """foreachBatch body committing each micro-batch to a SnapshotTable
     exactly once.
 
     Structured Streaming's foreachBatch is at-least-once: a crash
     between the batch function and the checkpoint advance replays the
     same (batch_id, data). Exactly-once therefore = idempotent commit
-    keyed by (lineage_id, batch_id) — a replayed batch sees its key
+    keyed by (lineage, batch_id) — a replayed batch sees its key
     already committed and becomes a no-op (the same construction as
     the Delta/Iceberg `txnAppId`/`txnVersion` idempotent-write
-    pattern). `lineage_id` must identify the checkpoint: batch ids
-    restart at 0 under a fresh checkpoint, so keys from different
-    lineages must not collide.
-    """
+    pattern). The lineage is the checkpoint's persisted query id
+    (resolved lazily at the first batch — the metadata file exists
+    once the query starts), so a fresh checkpoint is a new lineage by
+    construction.
+
+    The already-committed set is scanned from the manifests ONCE per
+    committer (i.e. once per query start) and kept in memory after —
+    a per-batch rescan would make replay-guard manifest I/O quadratic
+    over a long stream's lifetime. Rewrites that merged streaming
+    commits carry their keys forward in meta['stream_batches']
+    (snapshot._merge_metas_default), which is honored here too."""
+
+    state: dict = {"lineage": None, "done": None}
 
     def commit_batch(df: DataFrame, batch_id: int) -> None:
-        key = {"stream_lineage": lineage_id, "stream_batch_id": batch_id}
-        for c in table.active_commits():
-            m = c["meta"]
-            if (
-                m.get("stream_lineage") == lineage_id
-                and m.get("stream_batch_id") == batch_id
-            ):
-                return  # replay after crash-before-checkpoint: drop it
+        if state["lineage"] is None:
+            lineage = checkpoint_lineage(checkpoint_dir)
+            done: set[int] = set()
+            for c in table.active_commits():
+                m = c["meta"]
+                if m.get("stream_lineage") == lineage:
+                    done.add(int(m["stream_batch_id"]))
+                for pair in m.get("stream_batches", []):
+                    if pair[0] == lineage:
+                        done.add(int(pair[1]))
+            state["lineage"], state["done"] = lineage, done
+        if batch_id in state["done"]:
+            return  # replay after crash-before-checkpoint: drop it
         path = table.stage_dir()
         (
             df.drop("warc_ts")
@@ -109,7 +165,11 @@ def make_snapshot_batch_committer(table, lineage_id: str):
             .partitionBy("bucket_id")
             .parquet(path)
         )
-        table.commit(path, key)
+        table.commit(
+            path,
+            {"stream_lineage": state["lineage"], "stream_batch_id": batch_id},
+        )
+        state["done"].add(batch_id)
 
     return commit_batch
 
@@ -157,7 +217,13 @@ def keep_rate_stream(
     watermark actually advances across a static backlog."""
     scored = score_stream(spark, input_dir, cfg, max_files_per_trigger)
     return (
-        scored.withWatermark("warc_ts", watermark)
+        # NULL event times are excluded from watermarked windows
+        # silently; fall back to processing time so those rows still
+        # count (standard ingest-time fallback)
+        scored.withColumn(
+            "warc_ts", F.coalesce("warc_ts", F.current_timestamp())
+        )
+        .withWatermark("warc_ts", watermark)
         .groupBy(F.window("warc_ts", window).alias("w"), F.col("keep"))
         .agg(F.count("*").alias("n_docs"))
         .select(
@@ -204,7 +270,9 @@ def domain_session_stream(
     stream. One shuffle on (domain, merging session keys); state is
     per open session, evicted at the watermark."""
     pages = spark.readStream.schema(PAGES).parquet(input_dir)
-    domain = F.regexp_extract("url", r"https?://([^/]+)/", 1)
+    # no trailing slash: bare-domain urls ("https://example.com") are
+    # common in crawl data and must not collapse into domain=''
+    domain = F.regexp_extract("url", r"https?://([^/]+)", 1)
     return (
         pages.withWatermark("warc_ts", watermark)
         .groupBy(
