@@ -32,8 +32,11 @@ LSH_BANDS = 4          # bands of r = K/LSH_BANDS = 4 rows: P(candidate)
 JACCARD_THRESHOLD = 0.5  # 2-gram shingle Jaccard for near-dup pairs
 
 
-def _words(col):
-    return F.filter(F.split(col, r"\s+"), lambda w: w != F.lit(""))
+# canonical repo-wide word definition — delegate, don't re-implement:
+# three query modules import _words from here, and a drifted duplicate
+# of the tokenizer would silently split the oracles' "identical split
+# semantics" invariant
+from curator_spark.functions.textstats import words as _words  # noqa: E402
 
 
 def _shingles2(ws):
@@ -58,6 +61,22 @@ SQL_WS_CTE = (
     "SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'),"
     " x -> x <> '') AS ws FROM documents"
 )
+
+
+def _bucket_pairs(ids):
+    """Ordered (doc_a < doc_b) pair structs from a sorted id array —
+    the in-bucket pair expansion shared by the exact-Jaccard
+    co-occurrence grouping and the LSH candidate buckets (1-based
+    F.slice: element i pairs with every element from i+2 on)."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -183,16 +202,7 @@ def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each (shingle, doc) row once, and expands the q² pairs inside
     # the (duplicate-group-sized) bucket with map-side partial
     # aggregation of the per-pair counts.
-    ids = F.col("ids")
-    pairs_in_bucket = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.size(ids)),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
+    pairs_in_bucket = _bucket_pairs(F.col("ids"))
     inter = (
         sh.groupBy("sh")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
@@ -311,15 +321,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
         .where(F.size(ids) >= 2)
     )
-    pairs_in_bucket = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.size(ids)),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
+    pairs_in_bucket = _bucket_pairs(ids)
     return (
         buckets.select(F.explode(pairs_in_bucket).alias("p"))
         .select("p.doc_a", "p.doc_b")

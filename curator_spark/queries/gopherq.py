@@ -354,7 +354,9 @@ def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(ls).cast("long").alias("lines_total"),
         F.size(kept).cast("long").alias("lines_kept"),
         (F.size(kept) >= C4_MIN_KEPT_LINES).alias("keep"),
-        F.array_join(kept, "\n").alias("clean_text"),
+        # coalesce: array_join(NULL array) is NULL for a NULL-text doc,
+        # but the oracle twin coalesces to '' — keep the engines equal
+        F.coalesce(F.array_join(kept, "\n"), F.lit("")).alias("clean_text"),
     )
 
 

@@ -251,23 +251,11 @@ FROM s GROUP BY user_id
 # streaming windowed agg).
 # ---------------------------------------------------------------------------
 
-def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events")
-    return (
-        ev.groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
-        )
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
-            F.approx_count_distinct("user_id").alias("approx_users"),
-        )
-        .withColumn("hour", F.date_format("hour", "yyyy-MM-dd HH:mm:ss"))
-    )
-
-
-# approx_count_distinct (HLL) differs between engines by design; the
-# oracle uses exact distinct — so the Spark side must too for parity.
+# The registered rollup uses EXACT countDistinct: an
+# approx_count_distinct (HLL) variant can never pass the value-hash
+# oracle (sketch estimates differ between engines by design), so no
+# such variant is kept here — at corpus scale swap the exact distinct
+# for approx_count_distinct when the consumer tolerates estimates.
 def q_events_hourly_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     return (

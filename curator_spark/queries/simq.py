@@ -78,6 +78,16 @@ def _parquet_row_estimate(df: DataFrame) -> int | None:
         return None
 
 
+def _np_round_half_up(x, d: int = 6):
+    """Round half-AWAY-FROM-ZERO, matching DuckDB's and Spark's
+    round(): np.round is banker's (half-even) rounding and diverges
+    from both engines on an exact .5 boundary at the d-th digit."""
+    import numpy as np
+
+    f = 10.0 ** d
+    return np.sign(x) * np.floor(np.abs(x) * f + 0.5) / f
+
+
 def _to_double(col) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
 
@@ -293,7 +303,7 @@ def _neardup_lsh_path(spark: SparkSession, sf_dir: str, e: DataFrame) -> DataFra
             )
             out["vec_a"].extend(ids[ii])
             out["vec_b"].extend(ids[jj + lo])
-            out["sim"].extend(np.round(S[ii, jj], 6))
+            out["sim"].extend(_np_round_half_up(S[ii, jj]))
         return pd.DataFrame(out)
 
     return eb.groupBy("bucket").applyInPandas(
@@ -340,7 +350,7 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "vec_a": v_ids[ii],
                     "vec_b": b_ids[jj],
-                    "sim": np.round(S[ii, jj], 6),
+                    "sim": _np_round_half_up(S[ii, jj]),
                 }
             )
 
@@ -444,7 +454,13 @@ def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("sim", _cosine(F.col("emb"), F.col("cvec")))
         .groupBy("vec_id")
         .agg(
-            F.max_by("c_label", "sim").alias("assigned_label"),
+            # deterministic tie-break (smaller label wins) — bare
+            # max_by is documented non-deterministic on equal sims,
+            # and exact ties are the one case both engines can hit
+            # simultaneously (csim is bit-identical across engines).
+            # Same construction as ann_ivf's list assignment below.
+            F.min_by("c_label", F.struct(-F.col("sim"), F.col("c_label")))
+            .alias("assigned_label"),
             F.round(F.max("sim"), 6).alias("centroid_sim"),
         )
     )
@@ -470,10 +486,13 @@ scored AS (
   SELECT vec_id, c_label, list_cosine_similarity(emb, cvec) AS sim
   FROM e CROSS JOIN cvecs
 )
-SELECT vec_id,
-       arg_max(c_label, sim) AS assigned_label,
-       round(max(sim), 6) AS centroid_sim
-FROM scored GROUP BY vec_id
+SELECT vec_id, assigned_label, centroid_sim FROM (
+  SELECT vec_id, c_label AS assigned_label,
+         round(max(sim) OVER (PARTITION BY vec_id), 6) AS centroid_sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, c_label) AS rn
+  FROM scored
+) WHERE rn = 1
 """
 
 

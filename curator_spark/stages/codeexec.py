@@ -75,6 +75,7 @@ def _run_one(code: str, code_input: str, timeout: float, mem_mb: int) -> dict:
                 pass  # platform without RLIMIT_AS: timeout still bounds
 
         t0 = time.monotonic()
+        proc = None
         try:
             # start_new_session: the program runs as its own process
             # GROUP, so the timeout path can killpg the whole tree — a
@@ -138,7 +139,21 @@ def _run_one(code: str, code_input: str, timeout: float, mem_mb: int) -> dict:
                 "files": created,
                 "exec_sec": round(time.monotonic() - t0, 4),
             }
-        except Exception as e:  # spawn failure etc.
+        except Exception as e:  # spawn failure, MemoryError mid-read, ...
+            # reap the tree if the failure happened after a successful
+            # spawn (e.g. communicate() raising): a long-lived executor
+            # must not accumulate orphan interpreters with open pipes
+            if proc is not None and proc.poll() is None:
+                import signal
+
+                try:
+                    if os.name == "posix":
+                        os.killpg(proc.pid, signal.SIGKILL)
+                    else:
+                        proc.kill()
+                except ProcessLookupError:
+                    pass
+                proc.wait()
             return {
                 "message": "error",
                 "stdout": None,

@@ -32,8 +32,13 @@ from curator_spark.config import QualityConfig
 def _row_param(df: DataFrame, key: str, cast: str, default) -> Column:
     if "row_params" not in df.columns:
         return F.lit(default)
+    # try_cast, not cast: under Spark 4's default ANSI mode a malformed
+    # per-row override value ({"max_perplexity": "fast"}) would throw
+    # CAST_INVALID_INPUT and abort the whole job; try_cast yields NULL
+    # and the coalesce falls back to the run-level config, which is
+    # the documented bad-override behavior.
     return F.coalesce(
-        F.element_at(F.col("row_params"), key).cast(cast), F.lit(default)
+        F.element_at(F.col("row_params"), key).try_cast(cast), F.lit(default)
     )
 
 

@@ -61,17 +61,23 @@ def make_score_udf(cfg: QualityConfig):
             # from the Python->JVM serialization (the end-to-end
             # pipeline's largest single cost after this change is the
             # input text serialization, which is irreducible).
-            unchanged = (counts.sum(axis=1).values == 0) & texts.notna().values
+            # NULL-text rows NULL-propagate scrubbed + counts (oracle
+            # regexp semantics; the JVM coalesce restores the NULL) —
+            # same rule as stages/scrub.py
+            nulls = texts.isna().values
+            unchanged = (counts.sum(axis=1).values == 0) & ~nulls
             out = pd.DataFrame(
                 {
                     "lang_pred": pred,
                     "lang_score": conf,
                     "perplexity": ppl,
-                    "scrubbed_text": scrubbed.mask(unchanged, None),
+                    "scrubbed_text": scrubbed.mask(unchanged | nulls, None),
                 }
             )
             for c in ("emails", "ids", "phones", "toxic"):
-                out[c] = counts[c].values
+                out[c] = pd.array(
+                    np.where(nulls, None, counts[c].values), dtype="Int64"
+                )
             yield out
 
     return score_udf

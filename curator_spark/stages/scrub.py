@@ -25,17 +25,22 @@ _RET = (
 def make_scrub_udf():
     @pandas_udf(_RET)
     def scrub_udf(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for texts in it:
             scrubbed, counts = scrub_series(texts)
             # untouched rows (all counts zero <=> byte-identical text)
             # return NULL; the JVM side coalesces the original column
             # back in — same Arrow return-path compression as the
-            # fused scorer (stages/score.py)
-            unchanged = (
-                counts.sum(axis=1).values == 0
-            ) & texts.notna().values
-            out = counts.copy()
-            out.insert(0, "scrubbed_text", scrubbed.mask(unchanged, None))
+            # fused scorer (stages/score.py). NULL-text rows
+            # NULL-propagate (NULL scrubbed + NULL counts) to match
+            # the DuckDB twin's regexp semantics — the JVM coalesce
+            # then restores the original NULL.
+            nulls = texts.isna().values
+            unchanged = (counts.sum(axis=1).values == 0) & ~nulls
+            keep2d = ~np.tile(nulls[:, None], (1, counts.shape[1]))
+            out = counts.where(keep2d).astype("Int64")
+            out.insert(0, "scrubbed_text", scrubbed.mask(unchanged | nulls, None))
             yield out
 
     return scrub_udf

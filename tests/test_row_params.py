@@ -74,3 +74,26 @@ def test_row_params_column_absent_is_identical(spark):
         cfg,
     )
     assert plain == nulled
+
+
+def test_malformed_row_param_falls_back_to_config(spark, cfg):
+    """try_cast, not cast: under Spark 4's default ANSI mode a
+    malformed per-row override must fall back to the run config, not
+    abort the job with CAST_INVALID_INPUT."""
+    from pyspark.sql import functions as F
+
+    from curator_spark.stages.decide import _row_param
+
+    df = spark.createDataFrame(
+        [("a", {"max_perplexity": "fast"}), ("b", {"max_perplexity": "9.5"}),
+         ("c", None)],
+        "doc_id string, row_params map<string,string>",
+    )
+    out = {
+        r["doc_id"]: r["v"]
+        for r in df.select(
+            "doc_id",
+            _row_param(df, "max_perplexity", "double", 123.0).alias("v"),
+        ).collect()
+    }
+    assert out == {"a": 123.0, "b": 9.5, "c": 123.0}
