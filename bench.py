@@ -322,11 +322,23 @@ def _pipeline_child(
         _force(out)
         last = _time.perf_counter() - t0
         dt = min(dt, last)
-        total_dt += last
-        passes += 1
-        if deadline and _time.time() < deadline:
+        ended_after = bool(deadline) and _time.time() >= deadline
+        if not (ended_after and passes > 0):
+            # the pass that STRADDLES the shared deadline is excluded
+            # from the window mean (kept only if it is the sole pass):
+            # counting it would extend this level's measured window past
+            # the deadline by up to one pass — and the small level's
+            # passes are ~4x longer, so a host-speed change just after
+            # the deadline would land in ONE level's mean only, exactly
+            # the across-time-window comparison the barrier exists to
+            # prevent.
+            total_dt += last
+            passes += 1
+        if deadline:
+            if ended_after:
+                break
             continue  # aligned-window mode: measure until the deadline
-        if deadline or passes >= 2 or last > pass_cap:
+        if passes >= 2 or last > pass_cap:
             break
     spark.stop()
     print(f"PIPELINE_DOCS_PER_SEC {n_rows / dt:.3f} passes={passes}")
@@ -454,8 +466,22 @@ def run_fair_pair(
     with open(go_tmp, "w") as fh:
         fh.write(str(t0 + window))
     os.rename(go_tmp, os.path.join(barrier_dir, "go"))
-    rb = _child_result(p_big, n_big)
-    rs = _child_result(p_small, n_small)
+    try:
+        rb = _child_result(p_big, n_big)
+        rs = _child_result(p_small, n_small)
+    finally:
+        # if either child died (or timed out), the OTHER one keeps
+        # measuring on its pinned slice for up to window+pass seconds
+        # — straight into the NEXT pair's window, contaminating its
+        # throughput and steal samples. Reap both before returning or
+        # raising.
+        for p in (p_small, p_big):
+            if p.poll() is None:
+                p.kill()
+                try:
+                    p.communicate(timeout=60)
+                except Exception:
+                    pass
     wall = time.time() - t0
     b_s1, st_s1 = _slice_cpu_stats(cpus_s)
     b_b1, st_b1 = _slice_cpu_stats(cpus_b)
@@ -494,7 +520,12 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    try:
+        sf = float(
+            os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1
+        )
+    except ValueError:
+        sf = 0.0  # non-sfN dir name: still emit the JSON line
     do_scaling = "--no-scaling" not in sys.argv
     do_suite = "--no-suite" not in sys.argv
 
@@ -622,8 +653,11 @@ def main() -> None:
             key=lambda p: abs(ratio(p["corr_small"], p["corr_big"]) - eff),
         )
         key = "corr"
-        raw_effs = sorted(ratio(p["mean_small"], p["mean_big"]) for p in pairs)
-        corr_effs = sorted(ratio(p["corr_small"], p["corr_big"]) for p in pairs)
+        # CHRONOLOGICAL per-pair lists so index i lines up with
+        # pair_samples_raw / pair_cpu_diag (a sorted slice would report
+        # the 4 best, hiding the pairs the median actually came from)
+        raw_effs = [ratio(p["mean_small"], p["mean_big"]) for p in pairs]
+        corr_effs = [ratio(p["corr_small"], p["corr_big"]) for p in pairs]
         raw_basis = sorted(ratio(p["mean_small"], p["mean_big"]) for p in basis)
         result["pipeline"] = {
             "n_docs": BENCH_DOCS,

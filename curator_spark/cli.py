@@ -100,6 +100,28 @@ def submit_command(args: argparse.Namespace) -> str:
         parts += ["--files", npz]
     parts += [os.path.abspath(__file__),
               "--input", args.input, "--out", args.out]
+    # forward every behavioral flag — a submit line carrying only
+    # --input/--out would run a DIFFERENT pipeline than requested
+    # (html extraction on a text corpus, wrong target lang, strictness
+    # the caller disabled, ...)
+    if args.buckets is not None:
+        parts += ["--buckets", str(args.buckets)]
+    if args.max_buckets is not None:
+        parts += ["--max-buckets", str(args.max_buckets)]
+    if args.from_text:
+        parts += ["--from-text"]
+    if args.target_lang is not None:
+        parts += ["--target-lang", args.target_lang]
+    if args.allow_failed_rows:
+        parts += ["--allow-failed-rows"]
+    if args.ship_model_npz:
+        parts += ["--ship-model-npz"]
+    if args.compact:
+        parts += ["--compact"]
+    if args.delete_urls:
+        parts += ["--delete-urls", args.delete_urls]
+    if args.expire_snapshots is not None:
+        parts += ["--expire-snapshots", str(args.expire_snapshots)]
     return shlex.join(parts)
 
 
@@ -114,18 +136,29 @@ def main(argv: list[str] | None = None) -> int:
     from curator_spark.engine.session import get_spark
     from curator_spark.pipeline.run import QualityPipeline
 
-    spark = get_spark("curator-spark-cli", cores=args.cores,
-                      extra_conf=(
-                          {"spark.master": args.master} if args.master else None
-                      ))
+    extra_conf = {"spark.master": args.master} if args.master else {}
+    npz = None
     if args.ship_model_npz:
+        # artifact built BEFORE the session so the executor env can be
+        # declared at context creation: a driver-side os.environ set
+        # after startup reaches executors only in local mode (by env
+        # inheritance); on a real cluster _resolve_tables would read an
+        # empty env var and silently train in-worker instead of
+        # loading the shipped artifact.
         npz = os.path.join(tempfile.mkdtemp(prefix="curator_model_"),
                            "langid_lm.npz")
         from curator_spark.functions.vectorized import save_artifacts
 
         save_artifacts(npz, cfg.langs)
+        extra_conf["spark.executorEnv.SPARK_LANGID_NPZ"] = npz
+
+    spark = get_spark("curator-spark-cli", cores=args.cores,
+                      extra_conf=extra_conf or None)
+    if npz:
         spark.sparkContext.addFile(npz)
         os.environ["SPARK_LANGID_NPZ"] = npz
+
+    from curator_spark.pipeline.run import FailedRowsError
 
     pipe = QualityPipeline(args.out, cfg)
     try:
@@ -134,7 +167,11 @@ def main(argv: list[str] | None = None) -> int:
             max_buckets=args.max_buckets,
             from_html=not args.from_text,
         )
-    except RuntimeError as e:
+    except FailedRowsError as e:
+        # exit 3 is RESERVED for the strictness contract (failed rows
+        # under require_all_rows); any other failure propagates as a
+        # normal traceback so automation never mistakes an internal
+        # error for quarantined rows
         print(json.dumps({"error": str(e)}))
         return 3
     compacted = pipe.compact(spark, res.fingerprint) if args.compact else None

@@ -20,7 +20,7 @@ from curator_spark.queries.common import TABLES
 
 
 def _canon_cell(v) -> str:
-    if v is None or (isinstance(v, float) and math.isnan(v)):
+    if v is None or v is pd.NA or (isinstance(v, float) and math.isnan(v)):
         return "\x00NULL"
     if isinstance(v, float):
         return repr(float(v))
@@ -35,11 +35,13 @@ def _canon_cell(v) -> str:
 
 def frame_hash(df: pd.DataFrame) -> str:
     cols = sorted(df.columns)
-    rows = [
-        "\x01".join(_canon_cell(row[c]) for c in cols)
-        for _, row in df[cols].iterrows()
-    ]
-    rows.sort()
+    # canonicalize COLUMN-wise: iterrows materializes each row as a
+    # mixed-dtype Series, upcasting int64 to float64 whenever any other
+    # column is float (or an int column holds a NULL) — 2**62+1 and
+    # 2**62+2 become the same float64, so genuinely different 64-bit
+    # hash/id outputs could false-PASS the value compare. Per-column
+    # .tolist() preserves exact python ints.
+    rows = _canon_rows(df, cols)
     h = hashlib.sha256()
     for r in rows:
         h.update(r.encode("utf-8", "surrogatepass"))
@@ -115,14 +117,15 @@ def compare_query(spark, name: str, sf_dir: str) -> CompareResult:
     )
 
 
+def _canon_rows(df: pd.DataFrame, cols: list[str]) -> list[str]:
+    col_cells = [[_canon_cell(v) for v in df[c].tolist()] for c in cols]
+    return sorted("\x01".join(cells) for cells in zip(*col_cells))
+
+
 def _first_diff(a: pd.DataFrame, b: pd.DataFrame, n: int = 3) -> str:
     cols = sorted(a.columns)
-    ra = sorted(
-        "\x01".join(_canon_cell(row[c]) for c in cols) for _, row in a[cols].iterrows()
-    )
-    rb = sorted(
-        "\x01".join(_canon_cell(row[c]) for c in cols) for _, row in b[cols].iterrows()
-    )
+    ra = _canon_rows(a, cols)
+    rb = _canon_rows(b, cols)
     sa, sb = set(ra), set(rb)
     only_a = list(sa - sb)[:n]
     only_b = list(sb - sa)[:n]

@@ -26,7 +26,16 @@ from curator_spark.functions.scrub_core import scrub_series
 from curator_spark.functions.textstats import SYMBOL_CLASS
 from curator_spark.models.corpora import STOPWORDS
 
-_WS = re.compile(r"\s+")
+# JAVA \s, not Python \s: the Catalyst expressions this oracle mirrors
+# use Java regex whitespace — exactly the 6 ASCII chars below. Python's
+# \s is Unicode-aware (NBSP, thin space, ...), so re.compile(r"\s+")
+# here would tokenize 'foo bar' differently from the engine and
+# shift every ratio stat (and potentially the keep label) on non-ASCII
+# whitespace. Likewise line filtering strips SPACES only, matching
+# Spark's F.trim / DuckDB's trim — str.strip() would drop a '\t' line
+# that both engines count.
+_JAVA_WS = " \t\n\x0b\f\r"
+_WS = re.compile(f"[{re.escape(_JAVA_WS)}]+")
 _SYM = re.compile(SYMBOL_CLASS)
 _STOPSET = set(STOPWORDS)
 
@@ -38,7 +47,7 @@ def _stats_row(text: str) -> tuple[int, float, float, float, float]:
     mwl = (non_ws / wc) if wc else 0.0
     sym = len(text) - len(_SYM.sub("", text))
     sym_ratio = (sym / wc) if wc else 0.0
-    lines = [l for l in text.split("\n") if l.strip() != ""]
+    lines = [l for l in text.split("\n") if l.strip(" ") != ""]
     rlf = ((len(lines) - len(set(lines))) / len(lines)) if lines else 0.0
     hits = sum(1 for w in words if w.lower() in _STOPSET)
     swd = (hits / wc) if wc else 0.0

@@ -132,6 +132,13 @@ def staged_plan(
     )
 
 
+class FailedRowsError(RuntimeError):
+    """Rows failed extraction while require_all_rows is set — the
+    strictness contract (reference require_all_responses,
+    request_processor/config.py:30). cli.py maps exactly this class to
+    exit code 3; other failures must not masquerade as it."""
+
+
 @dataclass
 class RunResult:
     fingerprint: str
@@ -277,7 +284,7 @@ class QualityPipeline:
                 if c["meta"].get("run_fingerprint") == fp
             )
             if cfg.require_all_rows and prior_failed:
-                raise RuntimeError(
+                raise FailedRowsError(
                     f"{prior_failed} rows failed extraction in committed "
                     "runs of this fingerprint and require_all_rows is set "
                     "(quarantined alongside their stage dirs)"
@@ -378,7 +385,7 @@ class QualityPipeline:
         docs_seen = sum(b["docs_seen"] for b in buckets_meta.values())
         docs_kept = sum(b["docs_kept"] for b in buckets_meta.values())
         if cfg.require_all_rows and n_failed:
-            raise RuntimeError(
+            raise FailedRowsError(
                 f"{n_failed} rows failed extraction and require_all_rows is set "
                 f"(quarantined at {stage_dir}_failed)"
             )
