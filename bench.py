@@ -150,11 +150,14 @@ HEADLINE = [
 ]
 
 # Scaling corpus: large enough that compute dominates per-pass fixed
-# costs at the 4N level (~9s/pass at 8 cores vs <0.3s/pass fixed once
-# the plan is cached), small enough that the N level completes ~5
-# passes inside one aligned window — more passes per window = a
-# window-mean that genuinely averages the same minutes on both sides.
-BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "240000"))
+# costs at the 4N level (~8s/pass at 8 cores vs ~0.3s/pass fixed once
+# the plan is cached — ~4% drag on the big level, ~1% on the small,
+# i.e. a few points of artificial sub-linearity), small enough that
+# the N level still completes ~4-5 passes inside one aligned window —
+# more passes per window = a window-mean that genuinely averages the
+# same minutes on both sides. Raised 240k -> 320k in r4 after the
+# pipeline's throughput gains shrank big-level passes to ~5.5s.
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "320000"))
 
 
 def _force(df) -> None:
