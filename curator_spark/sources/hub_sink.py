@@ -53,6 +53,18 @@ Shards: {n_shards} parquet file(s) under `data/`.
 
 TARGET_SHARD_BYTES = 256 * 1024 * 1024  # hub-friendly shard size
 
+# The optimizer's sizeInBytes is a LOGICAL (decompressed, pre-pruning)
+# estimate, while TARGET_SHARD_BYTES is an ON-DISK parquet target —
+# dividing logical bytes by the target directly lands shards several
+# times smaller than asked. Web text compresses ~3-4x under
+# snappy+dictionary parquet; 3.0 is the conservative end (fewer, not
+# more, shards than a perfect estimate would give).
+PARQUET_COMPRESSION_RATIO = 3.0
+# Fallback floor when no byte estimate exists: never let a coalesced
+# single-partition plan produce one monolithic shard if the row count
+# says it holds many shards' worth of data.
+FALLBACK_ROWS_PER_SHARD = 500_000
+
 
 def _estimate_bytes(df: DataFrame) -> int | None:
     """Logical-plan size estimate (parquet footer stats when the source
@@ -64,6 +76,20 @@ def _estimate_bytes(df: DataFrame) -> int | None:
         return size if 0 < size < (1 << 62) else None
     except Exception:
         return None
+
+
+def _estimate_rows(df: DataFrame) -> int | None:
+    """Optimizer row-count estimate (present for plain file scans and
+    CBO-annotated plans); None when unknown."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            n = int(rc.get().toString())
+            return n if n > 0 else None
+    except Exception:
+        pass
+    return None
 
 
 def push_to_hub_layout(
@@ -81,9 +107,22 @@ def push_to_hub_layout(
     available (raises ImportError otherwise).
     """
     est = _estimate_bytes(df)
-    n_shards = (
-        max(1, math.ceil(est / target_shard_bytes)) if est else df.rdd.getNumPartitions()
-    )
+    if est:
+        # logical bytes -> projected on-disk bytes via the compression
+        # divisor, so shards land near the target instead of several
+        # times under it
+        n_shards = max(
+            1, math.ceil(est / PARQUET_COMPRESSION_RATIO / target_shard_bytes)
+        )
+    else:
+        # no byte estimate: partition count, floored by a row-count
+        # minimum so a coalesced (e.g. 1-partition) plan over a large
+        # dataset still shards instead of writing one monolith
+        rows = _estimate_rows(df)
+        row_floor = (
+            math.ceil(rows / FALLBACK_ROWS_PER_SHARD) if rows else 1
+        )
+        n_shards = max(df.rdd.getNumPartitions(), row_floor, 1)
     data_dir = os.path.join(repo_dir, "data")
     tmp_dir = os.path.join(repo_dir, "_tmp_write")
     df.repartition(n_shards).write.mode("overwrite").parquet(tmp_dir)

@@ -99,15 +99,27 @@ class ViewerSession:
             final = os.path.join(batch_dir, f"responses_{pid:05d}.jsonl")
             tmp = f"{final}.attempt-{uuid.uuid4().hex[:8]}"
             n = 0
-            with open(tmp, "w", encoding="utf-8") as f:
-                for row in rows:
-                    d = row.asDict(recursive=True)
-                    event = {
-                        "idx": d.get(key) if key else None,
-                        "response_data": {c: d[c] for c in cols if c != key},
-                    }
-                    f.write(json.dumps(event, default=str, sort_keys=True) + "\n")
-                    n += 1
+            try:
+                with open(tmp, "w", encoding="utf-8") as f:
+                    for row in rows:
+                        d = row.asDict(recursive=True)
+                        event = {
+                            "idx": d.get(key) if key else None,
+                            "response_data": {c: d[c] for c in cols if c != key},
+                        }
+                        f.write(
+                            json.dumps(event, default=str, sort_keys=True) + "\n"
+                        )
+                        n += 1
+            except BaseException:
+                # a task attempt that dies mid-write must not leave its
+                # .attempt-* spool file on the executor's disk forever —
+                # read_events ignores them, but retries accumulate orphans
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
+                raise
             if n:
                 os.replace(tmp, final)  # atomic: retries overwrite
             else:

@@ -115,7 +115,10 @@ def checkpoint_lineage(checkpoint_dir: str) -> str:
             qid = _json.load(fh).get("id")
             if qid:
                 return str(qid)
-    except OSError:
+    except (OSError, ValueError):
+        # ValueError covers json.JSONDecodeError: a truncated or
+        # partially-written metadata file must degrade to the path
+        # fallback, not kill the stream at its first micro-batch.
         pass
     return _os.path.abspath(checkpoint_dir)
 

@@ -50,3 +50,61 @@ def test_viewer_session_lifecycle_and_events(spark, tmp_path):
     assert got == {i: f"resp-{i}" for i in range(20)}
     # idx is carried as the event key, not duplicated in the payload
     assert "doc_id" not in events[0]["response_data"]
+
+
+def test_hub_shard_count_compression_aware(spark, tmp_path):
+    # logical estimate of E bytes must plan ~E/(ratio*target) shards,
+    # not E/target (the logical size is decompressed; the target is
+    # on-disk parquet bytes)
+    from curator_spark.sources import hub_sink as hs
+
+    df = spark.range(1000).selectExpr("id", "id * 2 AS v")
+    est = hs._estimate_bytes(df)
+    if est:  # range() exposes a size estimate in Spark 4
+        import math
+
+        target = max(1, est // 6)  # force a multi-shard plan
+        man = hs.push_to_hub_layout(df, str(tmp_path / "r1"), "u/d",
+                                    target_shard_bytes=target)
+        expect = max(1, math.ceil(est / hs.PARQUET_COMPRESSION_RATIO / target))
+        assert man["n_shards"] == expect
+
+
+def test_hub_fallback_row_floor(spark, tmp_path, monkeypatch):
+    # no byte estimate + coalesced single partition: the row-count
+    # floor must prevent one monolithic shard
+    from curator_spark.sources import hub_sink as hs
+
+    df = spark.range(100).selectExpr("id", "id * 2 AS v").coalesce(1)
+    monkeypatch.setattr(hs, "_estimate_bytes", lambda _df: None)
+    monkeypatch.setattr(hs, "_estimate_rows", lambda _df: 1_600_000)
+    monkeypatch.setattr(hs, "FALLBACK_ROWS_PER_SHARD", 500_000)
+    man = hs.push_to_hub_layout(df, str(tmp_path / "r2"), "u/d")
+    assert man["n_shards"] == 4  # ceil(1.6M / 500k), not 1
+
+
+def test_viewer_failed_attempt_cleans_tmp_spool(spark, tmp_path):
+    # a task attempt dying mid-write (here: an upstream UDF raising
+    # while spool() iterates its rows) must remove its .attempt-* temp
+    # file instead of leaving an orphan on the executor's disk
+    import glob
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    @F.udf("string")
+    def boom(x):
+        if x == 5:
+            raise ValueError("boom")
+        return str(x)
+
+    df = spark.range(10).select(
+        "id", boom("id").alias("r")
+    ).coalesce(1)
+    sess = ViewerSession(str(tmp_path), metadata={})
+    with pytest.raises(Exception):
+        sess.stream_responses(df, idx_col="id")
+    orphans = glob.glob(
+        os.path.join(sess.dir, "**", "*.attempt-*"), recursive=True
+    )
+    assert not orphans, f"orphan attempt spool left behind: {orphans}"

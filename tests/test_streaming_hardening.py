@@ -144,3 +144,12 @@ def test_domain_extraction_handles_bare_domain(spark):
     assert [r["domain"] for r in d.collect()] == [
         "example.com", "example.com", "x.org"
     ]
+
+
+def test_lineage_corrupt_metadata_degrades_to_path(tmp_path):
+    # a truncated / partially-written metadata file must fall back to
+    # the abspath, not raise JSONDecodeError into the first micro-batch
+    d = tmp_path / "ck_corrupt"
+    d.mkdir()
+    (d / "metadata").write_text('{"id": "qid-trunc')  # cut mid-value
+    assert checkpoint_lineage(str(d)) == os.path.abspath(str(d))
