@@ -1,0 +1,266 @@
+"""Exact global top-K selection WITHOUT a global rank window.
+
+`row_number() OVER (ORDER BY key DESC)` with no partitioning moves the
+entire input into ONE shuffle partition — invisible at sf0.1, a
+single-task total sort at 100 TB. This module computes the SAME
+selected set (top `n_keep` rows by (value DESC, id ASC)) as a
+shuffle-free filter against an exactly-resolved boundary element:
+
+1. SKETCH: `percentile_approx(value, 1 - frac, ACC)` gives a pivot
+   `tau0` that is an actual data value whose rank is within ~n/ACC of
+   the boundary (one pass, map-side mergeable sketch, no shuffle of
+   the data — only the O(ACC) sketch moves).
+2. EXACT COUNTS: one aggregate computes `c_gt = #(value > tau0)` and
+   `c_eq = #(value == tau0)` (bit-exact compares: tau0 IS one of the
+   rounded data values).
+3. BOUNDARY RESOLUTION: the true boundary element (the n_keep-th in
+   (value DESC, id ASC) order) is then pinned with work bounded by the
+   sketch's rank error (~n/ACC rows), never by n:
+   - boundary above the pivot (c_gt >= n_keep): it is the
+     (excess+1)-th smallest of {value > tau0} where
+     excess = c_gt - n_keep <= rank error — a TakeOrdered limit.
+   - boundary below the pivot (c_gt + c_eq < n_keep): the deficit-th
+     largest of {value < tau0}, deficit <= rank error — same shape.
+   - boundary INSIDE the pivot's tie set: the boundary value is tau0
+     and the tie split is the `need`-th smallest id among the ties,
+     resolved by the same sketch+exact-count+bounded-probe scheme on
+     the (unique) id column — so even a pathological tie set holding
+     half the corpus never lands in one task.
+4. FILTER: `selected = value > w* OR (value == w* AND id <= id*)` — a
+   narrow per-row predicate, zero exchanges, stable under retries and
+   repartitioning.
+
+If the sketch is pathologically off (residual beyond RESIDUAL_CAP
+rows), the code falls back to the exact global-rank window — correct
+at any scale, just the slow plan; the fallback is also the oracle
+formulation, so tests can pin equality.
+
+Driver cost: 2-4 tiny scalar actions (sketch+counts, probes). The
+input should be persisted by the caller when its lineage is expensive.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+SKETCH_ACC = 100_000     # percentile_approx accuracy: rank error <~ n/ACC
+RESIDUAL_CAP = 2_000_000  # max rows a boundary probe may gather
+
+
+@dataclass(frozen=True)
+class Boundary:
+    """The exact n_keep-th element under (value DESC, id ASC)."""
+
+    value: float
+    id: int  # noqa: A003 — mirrors the column it thresholds
+
+    def selects(self, value: Column, id_col: Column) -> Column:
+        return (value > self.value) | (
+            (value == self.value) & (id_col <= self.id)
+        )
+
+
+def _kth_smallest_unique(
+    df: DataFrame, col: str, k: int, n: int
+) -> int:
+    """Exact k-th smallest of a UNIQUE-valued column, sketch-guided.
+
+    Work bounded by the sketch rank error (~n/SKETCH_ACC), not n: one
+    percentile probe, one exact count, one residual TakeOrdered of
+    |count - k| rows. Falls back to a direct TakeOrdered(k) when k is
+    already small."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if k <= RESIDUAL_CAP:
+        row = (
+            df.orderBy(F.col(col).asc())
+            .limit(k)
+            .agg(F.max(col).alias("b"))
+            .first()
+        )
+        return row["b"]
+    p = min(1.0, max(0.0, k / n))
+    d0 = df.agg(
+        F.percentile_approx(col, F.lit(p), F.lit(SKETCH_ACC)).alias("d0")
+    ).first()["d0"]
+    c_le = df.agg(F.count_if(F.col(col) <= d0).alias("c")).first()["c"]
+    if c_le == k:
+        return d0
+    if c_le > k:
+        # drop the (c_le - k) largest below the probe; the k-th
+        # smallest is then the max of the remaining, i.e. the
+        # (c_le - k + 1)-th largest <= d0
+        resid = c_le - k + 1
+        if resid > RESIDUAL_CAP:
+            raise _SketchMiss()
+        return (
+            df.filter(F.col(col) <= d0)
+            .orderBy(F.col(col).desc())
+            .limit(resid)
+            .agg(F.min(col).alias("b"))
+            .first()["b"]
+        )
+    resid = k - c_le
+    if resid > RESIDUAL_CAP:
+        raise _SketchMiss()
+    return (
+        df.filter(F.col(col) > d0)
+        .orderBy(F.col(col).asc())
+        .limit(resid)
+        .agg(F.max(col).alias("b"))
+        .first()["b"]
+    )
+
+
+class _SketchMiss(Exception):
+    """Sketch residual exceeded RESIDUAL_CAP; caller falls back."""
+
+
+def _resolve_boundary(
+    scored: DataFrame, value_col: str, id_col: str, n_keep: int, n: int
+) -> Boundary:
+    frac = n_keep / n
+    v, i = F.col(value_col), F.col(id_col)
+    tau0 = scored.agg(
+        F.percentile_approx(
+            value_col, F.lit(1.0 - frac), F.lit(SKETCH_ACC)
+        ).alias("t")
+    ).first()["t"]
+    cnt = scored.agg(
+        F.count_if(v > tau0).alias("c_gt"),
+        F.count_if(v == tau0).alias("c_eq"),
+    ).first()
+    c_gt, c_eq = cnt["c_gt"], cnt["c_eq"]
+
+    if c_gt >= n_keep:
+        # boundary strictly above the pivot: (excess+1)-th smallest of
+        # {value > tau0} under (value ASC, id DESC)
+        excess = c_gt - n_keep
+        if excess + 1 > RESIDUAL_CAP:
+            raise _SketchMiss()
+        row = (
+            scored.filter(v > tau0)
+            .orderBy(v.asc(), i.desc())
+            .limit(excess + 1)
+            # composite max under (value DESC, id ASC) == struct min of
+            # (-value, id); negation is exact for IEEE doubles
+            .agg(F.min(F.struct((-v).alias("nw"), i.alias("i"))).alias("b"))
+            .first()["b"]
+        )
+        return Boundary(value=-row["nw"], id=row["i"])
+    need = n_keep - c_gt
+    if need <= c_eq:
+        # boundary inside the pivot's tie set: value tau0, id = the
+        # need-th smallest id among ties (ids unique)
+        tie_id = _kth_smallest_unique(
+            scored.filter(v == tau0).select(id_col), id_col, need, c_eq
+        )
+        return Boundary(value=tau0, id=tie_id)
+    # boundary below the pivot: deficit-th largest of {value < tau0}
+    deficit = need - c_eq
+    if deficit > RESIDUAL_CAP:
+        raise _SketchMiss()
+    row = (
+        scored.filter(v < tau0)
+        .orderBy(v.desc(), i.asc())
+        .limit(deficit)
+        .agg(F.max(F.struct((-v).alias("nw"), i.alias("i"))).alias("b"))
+        .first()["b"]
+    )
+    return Boundary(value=-row["nw"], id=row["i"])
+
+
+def mark_top_frac(
+    scored: DataFrame,
+    value_col: str,
+    id_col: str,
+    frac: float,
+    out_col: str = "selected",
+) -> DataFrame:
+    """Append `out_col` = True for exactly the top floor(frac * n)
+    rows by (value DESC, id ASC), computed threshold-style (module
+    docstring). Persists `scored` for the duration of the scalar
+    probes; the returned frame filters the persisted input with a
+    narrow predicate (no window, no extra shuffle)."""
+    scored = scored.persist()
+    n = scored.count()
+    n_keep = int(frac * n)
+    if n_keep <= 0:
+        return scored.withColumn(out_col, F.lit(False))
+    if n_keep >= n:
+        return scored.withColumn(out_col, F.lit(True))
+    try:
+        b = _resolve_boundary(scored, value_col, id_col, n_keep, n)
+        return scored.withColumn(
+            out_col, b.selects(F.col(value_col), F.col(id_col))
+        )
+    except _SketchMiss:
+        # pathological sketch miss: exact global-rank fallback —
+        # correct at any scale, single-task sort (the plan this module
+        # exists to avoid; kept only as the correctness backstop)
+        rk = F.row_number().over(
+            Window.orderBy(F.col(value_col).desc(), F.col(id_col).asc())
+        )
+        return scored.withColumn(out_col, rk <= n_keep)
+
+
+def salted_partition_rank(
+    df: DataFrame,
+    part_col: str,
+    hexkey: Column,
+    tiebreak_col: str,
+    out_col: str = "rk",
+    salt_hex: int = 1,
+) -> DataFrame:
+    """Exact per-partition rank under (hexkey ASC, tiebreak ASC) —
+    `row_number() OVER (PARTITION BY part ORDER BY hexkey, tiebreak)` —
+    without ever putting one partition-value's full row stream into a
+    single task.
+
+    `row_number() OVER (PARTITION BY lang ...)` single-tasks the
+    dominant language: English is ~45% of a web corpus, so that window
+    partition IS the corpus. The fix exploits that `hexkey` is an md5
+    HEX STRING (uniform, and its prefix is ORDER-CONSISTENT with the
+    full key): salt = the first `salt_hex` hex digits splits every
+    partition into 16^salt_hex contiguous RANGES of the per-partition
+    order, so
+
+        global rank = offset(part, salt) + rank within (part, salt)
+
+    where offset = the total count of earlier salts in the same part —
+    a window over the tiny (n_parts x 16^salt_hex) counts table, never
+    over the corpus. The corpus-side window partitions by (part, salt):
+    the mega-partition becomes 16^salt_hex near-equal tasks (md5
+    uniformity), and salt_hex dials parallelism (2 -> 256 slices).
+
+    Deterministic: rank is a pure function of (part, hexkey, tiebreak),
+    stable under retries / repartitioning / resume.
+    """
+    d = df.withColumn("_k", hexkey).withColumn(
+        "_salt", F.substring("_k", 1, salt_hex)
+    )
+    counts = d.groupBy(part_col, "_salt").agg(F.count("*").alias("_c"))
+    prior = (
+        Window.partitionBy(part_col)
+        .orderBy("_salt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = counts.select(
+        part_col,
+        "_salt",
+        F.coalesce(F.sum("_c").over(prior), F.lit(0)).alias("_off"),
+    )
+    rk_in = F.row_number().over(
+        Window.partitionBy(part_col, "_salt").orderBy(
+            "_k", tiebreak_col
+        )
+    )
+    return (
+        d.withColumn("_rk_in", rk_in)
+        .join(F.broadcast(offs), [part_col, "_salt"])
+        .withColumn(out_col, (F.col("_off") + F.col("_rk_in")).cast("int"))
+        .drop("_k", "_salt", "_rk_in", "_off")
+    )

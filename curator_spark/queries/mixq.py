@@ -43,6 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from curator_spark.functions.topk import mark_top_frac, salted_partition_rank
 from curator_spark.queries.common import spread, sql_words, t
 from curator_spark.queries.dedupq import _words
 
@@ -81,20 +82,20 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     dc = buckets(d.filter(~is_t)).groupBy("doc_id", "b").agg(
         F.count("*").alias("c")
     )
-    # the distributions + their totals ride the same <=B-row tables
-    # (window over the tiny agg, not a separate agg+crossjoin branch);
-    # totals attach BEFORE the join so nt counts target buckets absent
-    # from the raw corpus too
-    everything = Window.partitionBy()
-    cr = dc.groupBy("b").agg(F.sum("c").alias("cr")).select(
-        "b", "cr", F.sum("cr").over(everything).alias("nr")
-    )
+    # totals ride as broadcast scalars over the <=B-row tables (no
+    # window anywhere in this plan — the query's census row asserts
+    # Window-free); totals attach from their own aggregates so nt
+    # counts target buckets absent from the raw corpus too
+    cr = dc.groupBy("b").agg(F.sum("c").alias("cr"))
+    nr = cr.agg(F.sum("cr").alias("nr"))
     ct = buckets(d.filter(is_t)).groupBy("b").agg(F.count("*").alias("ct"))
     nt = ct.agg(F.sum("ct").alias("nt"))
     # buckets absent from the raw corpus can't appear in any scored
-    # doc, so a left join from the raw distribution suffices; nt is a
-    # broadcast scalar so target-only buckets still count toward it
-    lr = cr.join(ct, "b", "left").join(F.broadcast(nt)).select(
+    # doc, so a left join from the raw distribution suffices; nt/nr are
+    # broadcast scalars so target-only buckets still count toward nt
+    lr = cr.join(ct, "b", "left").join(F.broadcast(nt)).join(
+        F.broadcast(nr)
+    ).select(
         "b",
         (
             F.log(
@@ -117,17 +118,14 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DSIR resamples the TOP-K by weight (not a fixed threshold — the
     # add-1 smoothing asymmetry between the small target and the large
     # raw corpus shifts all weights by a constant, so 0 is arbitrary).
-    # The rank runs on the ROUNDED weight with doc_id tiebreak so both
-    # engines order identically. At corpus scale the global rank
-    # becomes a threshold draw: take tau = the (1-frac) weight quantile
-    # from a sketch, then `logw >= tau` is a shuffle-free filter.
-    n_keep = F.floor(F.lit(DSIR_KEEP_FRAC) * F.count("*").over(Window.partitionBy()))
-    rk = F.row_number().over(
-        Window.orderBy(F.desc("dsir_logw"), F.asc("doc_id"))
-    )
-    return scored.select(
-        "doc_id", "dsir_logw", (rk <= n_keep).alias("selected")
-    )
+    # Selection semantics = rank <= floor(frac*n) over (weight DESC,
+    # doc_id ASC) on the ROUNDED weight — the DuckDB oracle states it
+    # as that rank window. The PLAN, however, is threshold-style
+    # (functions/topk.py): a quantile sketch pins an approximate pivot,
+    # exact counts + bounded boundary probes resolve the exact n_keep-th
+    # element, and `selected` becomes a narrow shuffle-free filter — no
+    # unpartitioned window, so nothing single-tasks at corpus scale.
+    return mark_top_frac(scored, "dsir_logw", "doc_id", DSIR_KEEP_FRAC)
 
 
 def sql_dsir_importance() -> str:
@@ -240,12 +238,13 @@ def q_temperature_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt"),
         ).alias("target"),
     )
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    # salted two-level rank (functions/topk.salted_partition_rank):
+    # exact-count semantics without single-tasking a mega-language
+    ranked = salted_partition_rank(
+        d, "lang", F.md5(F.col("doc_id").cast("string")), "doc_id"
     )
     return (
-        d.withColumn("rk", F.row_number().over(w))
-        .join(F.broadcast(target), "lang")
+        ranked.join(F.broadcast(target), "lang")
         .filter(F.col("rk") <= F.col("target"))
         .select("doc_id", "lang")
     )

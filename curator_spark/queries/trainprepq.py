@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from curator_spark.functions.topk import salted_partition_rank
 from curator_spark.queries.common import spread, t
 from curator_spark.queries.dedupq import _words
 
@@ -268,12 +269,16 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .agg(F.min("cnt").alias("target"))
     )
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    # exact per-lang md5 rank via the salted two-level scheme
+    # (functions/topk.salted_partition_rank): the corpus window
+    # partitions by (lang, salt) so a mega-language (English ~ half a
+    # web corpus) never lands in one task; per-salt offsets merge the
+    # within-salt ranks back to the exact global per-lang rank.
+    ranked = salted_partition_rank(
+        d, "lang", F.md5(F.col("doc_id").cast("string")), "doc_id"
     )
     return (
-        d.withColumn("rk", F.row_number().over(w))
-        .join(F.broadcast(target))
+        ranked.join(F.broadcast(target))
         .filter(F.col("rk") <= F.col("target"))
         .select("doc_id", "lang")
     )
