@@ -30,6 +30,13 @@ MINHASH_K = 16         # OPH signature slots (one per hex digit bucket)
 LSH_BANDS = 4          # bands of r = K/LSH_BANDS = 4 rows: P(candidate)
                        # = 1-(1-j^4)^4 => ~0.99 at j=0.9, ~2e-5 at j=0.1
 JACCARD_THRESHOLD = 0.5  # 2-gram shingle Jaccard for near-dup pairs
+# Common-shingle cutoff: shingles whose document frequency exceeds this
+# are dropped from the shingle UNIVERSE (intersection AND sizes) before
+# pair expansion — the standard near-dup move (a shingle in half the
+# corpus carries no dedup signal but expands q^2 pairs in one bucket
+# task, and its posting list is the collect_set OOM ADVICE r4 flagged).
+# The DuckDB oracle applies the identical cap, so rows stay hash-matched.
+JACCARD_MAX_DF = 64
 
 
 # canonical repo-wide word definition — delegate, don't re-implement:
@@ -193,6 +200,20 @@ def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = d.select(
         "doc_id", F.explode(_shingles2(_words(F.col("text")))).alias("sh")
     )
+    # df cutoff BEFORE any posting list materializes: pass 1 is a
+    # map-side-combined count whose output is one row per DISTINCT hot
+    # shingle (the zipf head — tiny), anti-joined back so no bucket
+    # ever holds more than JACCARD_MAX_DF ids (AQE converts the anti
+    # join to broadcast at runtime from the tiny hot set's actual
+    # size). Sizes are computed AFTER the cap: the capped universe is
+    # the Jaccard universe, identically on both engines.
+    hot = (
+        sh.groupBy("sh")
+        .agg(F.count("*").alias("df_cnt"))
+        .filter(F.col("df_cnt") > JACCARD_MAX_DF)
+        .select("sh")
+    )
+    sh = sh.join(hot, "sh", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     # co-occurrence via bucket grouping, NOT a shingle self-join (same
     # shape as q_dedup_minhash_lsh's bucket expansion): a self-join
@@ -200,8 +221,8 @@ def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every hot shingle's rows through the join shuffle TWICE before
     # expanding q² pairs; grouping runs the pipeline once, shuffles
     # each (shingle, doc) row once, and expands the q² pairs inside
-    # the (duplicate-group-sized) bucket with map-side partial
-    # aggregation of the per-pair counts.
+    # the (df-capped) bucket with map-side partial aggregation of the
+    # per-pair counts.
     pairs_in_bucket = _bucket_pairs(F.col("ids"))
     inter = (
         sh.groupBy("sh")
@@ -228,8 +249,13 @@ def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DEDUP_JACCARD = f"""
 WITH w AS ({SQL_WS_CTE}),
-sh AS (
+sh_all AS (
   SELECT doc_id, unnest({SQL_SHINGLES2}) AS sh FROM w
+),
+sh AS (
+  SELECT * FROM sh_all
+  WHERE sh IN (SELECT sh FROM sh_all GROUP BY sh
+               HAVING count(*) <= {JACCARD_MAX_DF})
 ),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (

@@ -43,14 +43,36 @@ MSG = "struct<role:string,content:string>"
 @dataclass
 class SparkAgent:
     """Mirror of the reference Agent (agent/agent.py:20-66): a name, a
-    responder, and a completion predicate over the agent's reply."""
+    responder, and a completion predicate over the agent's reply.
+
+    Responders come in two shapes (the M2 batched-scoring pattern,
+    reference vllm_offline_request_processor.py:41-53):
+    - `respond(history) -> reply` — per-conversation; convenient for
+      deterministic/synthetic backends.
+    - `respond_batch(histories) -> replies` — ONE call per Arrow chunk
+      over every still-open conversation in the chunk; this is the
+      seam a vectorized model backend (offline LLM, batched HTTP)
+      plugs into. When only `respond` is given, `respond_batch`
+      defaults to a per-row wrapper over it, so the loop always drives
+      the batch signature.
+    """
 
     name: str
-    respond: Callable[[list[dict]], str]
+    respond: Callable[[list[dict]], str] | None = None
     stop_marker: str = "[DONE]"
     is_completed: Callable[[str], bool] = field(default=None)  # type: ignore[assignment]
+    respond_batch: Callable[[list[list[dict]]], list[str]] = field(
+        default=None  # type: ignore[assignment]
+    )
 
     def __post_init__(self):
+        if self.respond is None and self.respond_batch is None:
+            raise ValueError(
+                f"agent {self.name!r} needs respond or respond_batch"
+            )
+        if self.respond_batch is None:
+            per_row = self.respond
+            self.respond_batch = lambda hists: [per_row(h) for h in hists]
         if self.is_completed is None:
             marker = self.stop_marker
             self.is_completed = lambda reply: marker in (reply or "")
@@ -92,26 +114,35 @@ def run_multiturn(
 
     for step in range(max_length):
         agent = partner if step % 2 == 0 else seeder
-        respond, completed = agent.respond, agent.is_completed
+        respond_batch, completed = agent.respond_batch, agent.is_completed
 
         @F.pandas_udf(StringType())
         def reply_udf(hist: pd.Series, done: pd.Series) -> pd.Series:
             # hist: per-row list of {'role','content'} dicts. The
-            # responder sees the full history — one vectorized batch
-            # per Arrow chunk; a real model backend would score the
-            # whole batch at once here. The done flag is checked
-            # INSIDE the UDF: Catalyst hoists Python UDFs out of
-            # CASE WHEN into an unconditional ArrowEvalPython node, so
-            # a `when(~done, udf(...))` guard would still invoke the
-            # responder on every finished row (wasted model calls, and
-            # a responder that chokes on a closed history would crash
-            # rows that are already done).
-            return pd.Series(
-                [
-                    None if d else respond([dict(m) for m in h])
-                    for h, d in zip(hist, done)
-                ]
-            )
+            # batch responder gets every OPEN conversation of the
+            # Arrow chunk in ONE call — the seam a vectorized model
+            # backend scores whole batches through. The done flag is
+            # checked INSIDE the UDF: Catalyst hoists Python UDFs out
+            # of CASE WHEN into an unconditional ArrowEvalPython node,
+            # so a `when(~done, udf(...))` guard would still invoke
+            # the responder on every finished row (wasted model calls,
+            # and a responder that chokes on a closed history would
+            # crash rows that are already done).
+            flags = list(done)
+            open_idx = [i for i, d in enumerate(flags) if not d]
+            hists = [
+                [dict(m) for m in hist.iloc[i]] for i in open_idx
+            ]
+            replies = respond_batch(hists) if hists else []
+            if len(replies) != len(hists):
+                raise ValueError(
+                    f"respond_batch returned {len(replies)} replies "
+                    f"for {len(hists)} histories"
+                )
+            out: list[str | None] = [None] * len(flags)
+            for i, r in zip(open_idx, replies):
+                out[i] = r
+            return pd.Series(out, dtype=object)
 
         open_reply = reply_udf(F.col("history"), F.col("done"))
         conv = (

@@ -83,3 +83,66 @@ def test_multiturn_early_exit_when_all_done(spark):
     )
     assert out.where(~F.col("done")).isEmpty()
     assert out.agg(F.max("turns")).first()[0] == 1
+
+
+def test_batch_responder_receives_whole_chunk(spark):
+    """VERDICT r4 ask #3: `respond_batch` is invoked ONCE per Arrow
+    chunk with every still-open conversation — the M2 vectorized-model
+    seam. Each reply embeds the batch size the responder saw, so the
+    assertion survives the executor boundary without accumulators."""
+
+    def seeder_batch(hists):
+        n = len(hists)
+        return [f"s{len(h)}.n{n}" for h in hists]
+
+    def partner_batch(hists):
+        n = len(hists)
+        out = []
+        for h in hists:
+            want = int(h[0]["content"].split(":")[1])
+            marker = " [DONE]" if len(h) >= want else ""
+            out.append(f"p{len(h)}.n{n}{marker}")
+        return out
+
+    seeds = spark.createDataFrame(
+        [(str(i), "stop:1" if i < 2 else "stop:99") for i in range(6)],
+        ["conv_id", "seed_message"],
+    ).coalesce(1)  # one partition -> one Arrow chunk -> one batch call
+    out = run_multiturn(
+        seeds,
+        seeder=SparkAgent("s", respond_batch=seeder_batch),
+        partner=SparkAgent("p", respond_batch=partner_batch),
+        max_length=2,
+    )
+    rows = {r["conv_id"]: r for r in out.collect()}
+
+    # turn 1 (partner): all 6 conversations open -> the single call saw n=6
+    assert all(".n6" in r["history"][1]["content"] for r in rows.values())
+    # turn 2 (seeder): rows 0-1 stopped, so the batch held ONLY the 4
+    # open conversations — finished rows were excluded, not scored
+    open_rows = [r for k, r in rows.items() if int(k) >= 2]
+    assert len(open_rows) == 4
+    assert all(".n4" in r["history"][2]["content"] for r in open_rows)
+    done_rows = [r for k, r in rows.items() if int(k) < 2]
+    assert all(len(r["history"]) == 2 for r in done_rows)
+
+
+def test_per_row_responder_still_works_as_batch_adapter(spark):
+    """A per-row `respond` with no `respond_batch` is wrapped into the
+    batch signature automatically (default adapter)."""
+    seeds = spark.createDataFrame([("a", "seed")], ["conv_id", "seed_message"])
+    out = run_multiturn(
+        seeds,
+        seeder=SparkAgent("s", lambda h: "sx"),
+        partner=SparkAgent("p", lambda h: "px [DONE]"),
+        max_length=4,
+    )
+    row = out.first()
+    assert row["done"] and row["stopped_by"] == "p"
+
+
+def test_agent_requires_some_responder():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        SparkAgent("x")
