@@ -12,10 +12,12 @@ tests/test_queries_oracle.py, still benchmarked — just not submitted
 to the driver's capped window).
 
 Demotion rationale per extra query:
-- decontaminate_hashed: byte-identical output to decontaminate via an
-  8-byte xxhash64 broadcast prefilter + exact confirm — the 100 TB
-  broadcast-width variant; the measured window already verifies the
-  semantics through decontaminate itself.
+- error_props_histogram: its operators (S4 JSON unpack, F3
+  encode/decode, A6 error histogram) stay driver-covered by
+  json_repair_stats + users_by_event_type; demoted in r5 (VERDICT r4
+  ask #6) to make room for decontaminate_hashed — the 100 TB-shaped
+  8-byte-broadcast-prefilter decontamination variant, byte-identical
+  to decontaminate and now hash-gated by the driver itself.
 - langid_docs / perplexity_docs: per-doc model outputs, rows-only at
   the driver; superseded in the measured set by `model_scores_pinned`
   (hash-verified integer aggregates of the same two model stages).
@@ -93,6 +95,7 @@ MEASURED = [
     "semdedup_prune",
     # training prep
     "decontaminate",
+    "decontaminate_hashed",
     "decontaminate_fuzzy",
     "sample_stratified",
     "downsample_lang",
@@ -108,7 +111,6 @@ MEASURED = [
     "top_customers_revenue",
     "orders_no_bigline",
     "users_by_event_type",
-    "error_props_histogram",
     "latest_event_per_user",
     "sessionize",
     "asof_last_click_before_error",
@@ -118,7 +120,7 @@ MEASURED = [
 
 EXTRA = [
     "quality_full_text",
-    "decontaminate_hashed",
+    "error_props_histogram",
     "langid_docs",
     "perplexity_docs",
     "lang_distribution",

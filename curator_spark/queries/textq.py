@@ -356,19 +356,36 @@ WINNOW_W = 4   # window length over the k-gram hash sequence
 
 
 def q_doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Each array stage is MATERIALIZED as its own projection before the
+    # next stage references it. A lambda of a higher-order function
+    # re-evaluates any captured outer EXPRESSION once per element — so
+    # the fully-inlined form re-split the text inside every element_at
+    # of the k-gram lambda and rebuilt the whole k-gram+md5 array for
+    # every sliding-window position (O(n·K + n·W·n·K) re-splits per
+    # row; measured 11.9 s for 500 sf0.01 docs, ~40x the family norm).
+    # Staged projections make each captured reference an attribute
+    # read; CollapseProject keeps the stages apart because each alias
+    # is referenced more than once downstream.
     d = spread(t(spark, sf_dir, "documents"), spark)
     ws = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != F.lit(""))
-    n = F.size(ws)
+    staged = d.select("doc_id", ws.alias("ws"))
+    n = F.size(F.col("ws"))
     kg = F.when(
         n >= WINNOW_K,
         F.transform(
             F.sequence(F.lit(1), n - (WINNOW_K - 1)),
             lambda i: F.concat_ws(
-                " ", *[F.element_at(ws, i + j) for j in range(WINNOW_K)]
+                " ",
+                *[F.element_at(F.col("ws"), i + j) for j in range(WINNOW_K)],
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    hs = F.transform(kg, lambda s: F.md5(s.cast("binary")))
+    staged = staged.select("doc_id", kg.alias("kg"))
+    staged = staged.select(
+        "doc_id",
+        F.transform("kg", lambda s: F.md5(s.cast("binary"))).alias("hs"),
+    )
+    hs = F.col("hs")
     m = F.size(hs)
     wins = F.when(
         m >= WINNOW_W,
@@ -379,14 +396,17 @@ def q_doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).when(m > 0, F.array(F.array_min(hs))).otherwise(
         F.array().cast("array<string>")
     )
+    staged = staged.select("doc_id", wins.alias("wins"))
     # fingerprints are comma-joined into one scalar string: the
     # driver's oracle canonicalizer cannot hash array cells.
-    return d.select(
+    return staged.select(
         "doc_id",
-        F.array_join(F.array_sort(F.array_distinct(wins)), ",").alias(
+        F.array_join(F.array_sort(F.array_distinct(F.col("wins"))), ",").alias(
             "fingerprints"
         ),
-        F.size(F.array_distinct(wins)).cast("long").alias("n_fingerprints"),
+        F.size(F.array_distinct(F.col("wins"))).cast("long").alias(
+            "n_fingerprints"
+        ),
     )
 
 
