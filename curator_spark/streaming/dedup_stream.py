@@ -23,6 +23,31 @@ Design for scale:
   exact set becomes a RocksDB state store + Bloom-filter front; the
   operator shape (bucket key, hash column, set-membership emit) is
   unchanged — only the membership structure swaps.
+
+Bounded-state mode (`dedup_stream_bounded`): the exact per-bucket
+seen-set grows O(total history) and is rewritten wholesale every
+micro-batch — fine for bounded runs, unacceptable at web scale. The
+bounded mode keeps state size CONSTANT per bucket after a warm-up:
+
+- state value = (n_seen, seen?, bloom) where `bloom` is a fixed-width
+  bit array. While `n_seen <= exact_cap` the exact hash array is kept
+  alongside (zero false positives); once the cap is crossed the array
+  is dropped and membership is answered by the Bloom filter alone, so
+  every later state write is exactly `bloom_bytes + 8` bytes.
+- Bloom positions are computed NATIVELY (`pmod(xxhash64(url_hash, i),
+  m)` per hash slot i) before the stateful operator — Python never
+  hashes; inside the UDF membership is one vectorized numpy gather
+  (`bloom[pos >> 3] & bit`), insertion one `np.bitwise_or.at`.
+- Error direction is one-sided and SAFE for dedup: a Bloom false
+  positive drops a genuinely-new doc (treated as already seen); a
+  duplicate is NEVER re-emitted. With m bits, k hashes and n inserted
+  keys the FP rate is p ≈ (1 - e^{-kn/m})^k — the defaults (m = 2^23
+  bits = 1 MiB/bucket, k = 5) give p ≈ 1.8% at n = 10^6 docs/bucket
+  and p ≈ 0.1% at n = 3·10^5; size `bloom_bits ≈ 10–14 bits per
+  expected doc per bucket` and scale `n_state_buckets` with the
+  corpus. An exact-confirm side lookup against the emitted snapshot
+  table can zero the FP rate where required; the streaming operator
+  itself stays constant-state.
 """
 
 from __future__ import annotations
@@ -30,6 +55,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -37,6 +63,7 @@ from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     LongType,
     StringType,
     StructField,
@@ -98,6 +125,146 @@ def dedup_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# -- bounded-state mode ------------------------------------------------
+
+BOUNDED_STATE_SCHEMA = StructType(
+    [
+        StructField("n_seen", LongType()),
+        # exact hash array while n_seen <= exact_cap, then NULL forever
+        StructField("seen", ArrayType(StringType())),
+        StructField("bloom", BinaryType()),
+    ]
+)
+
+DEFAULT_BLOOM_BITS = 1 << 23  # 1 MiB per bucket
+DEFAULT_N_HASHES = 5
+DEFAULT_EXACT_CAP = 100_000
+
+
+def _bloom_hits(bloom: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """Row-wise 'all k bits set' over a (rows, k) position matrix."""
+    bits = bloom[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)
+    return (bits != 0).all(axis=1)
+
+
+def _bloom_set(bloom: np.ndarray, pos: np.ndarray) -> None:
+    flat = pos.reshape(-1)
+    np.bitwise_or.at(bloom, flat >> 3, (1 << (flat & 7)).astype(np.uint8))
+
+
+def make_bounded_dedup_fn(exact_cap: int, bloom_bits: int):
+    """State fn factory (closure pickles to executors via cloudpickle).
+
+    Rows must carry `bloom_pos: array<long>` — the k bloom positions,
+    computed JVM-side so Python never touches url bytes.
+    """
+    n_bytes = (bloom_bits + 7) // 8
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            n_seen, seen_list, bloom_bytes = state.get
+            bloom = np.frombuffer(bloom_bytes, dtype=np.uint8).copy()
+            exact = seen_list is not None
+            seen: set[str] = set(seen_list) if exact else set()
+        else:
+            n_seen, exact, seen = 0, True, set()
+            bloom = np.zeros(n_bytes, dtype=np.uint8)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            firsts = pdf.drop_duplicates(subset=["url_hash"], keep="first")
+            pos = np.stack(firsts["bloom_pos"].to_numpy()).astype(np.int64)
+            if exact:
+                fresh_mask = ~firsts["url_hash"].isin(seen).to_numpy()
+            else:
+                fresh_mask = ~_bloom_hits(bloom, pos)
+            fresh = firsts[fresh_mask]
+            if len(fresh):
+                n_seen += len(fresh)
+                _bloom_set(bloom, pos[fresh_mask])
+                if exact:
+                    seen.update(fresh["url_hash"])
+                    if n_seen > exact_cap:
+                        # one-way transition: later writes are
+                        # constant-size (bloom + counter only)
+                        exact, seen = False, set()
+                yield fresh[["url", "url_hash", "text"]]
+        state.update((n_seen, sorted(seen) if exact else None, bloom.tobytes()))
+
+    return fn
+
+
+def dedup_stream_bounded(
+    spark: SparkSession,
+    input_dir: str,
+    n_state_buckets: int = 64,
+    exact_cap: int = DEFAULT_EXACT_CAP,
+    bloom_bits: int = DEFAULT_BLOOM_BITS,
+    n_hashes: int = DEFAULT_N_HASHES,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Cross-batch first-occurrence dedup with per-bucket state bounded
+    at `bloom_bits/8 + O(exact_cap)` bytes (constant once past the
+    cap). See the module docstring for the FP bound and sizing rule."""
+    reader = spark.readStream.schema(PAGES)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    pages = reader.parquet(input_dir)
+    keyed = pages.select(
+        "url",
+        F.md5(F.col("url").cast("binary")).alias("url_hash"),
+        "text",
+        F.pmod(F.xxhash64("url"), F.lit(n_state_buckets)).alias("state_bucket"),
+        F.array(
+            *[
+                F.pmod(
+                    F.xxhash64(F.col("url"), F.lit(i)), F.lit(bloom_bits)
+                )
+                for i in range(n_hashes)
+            ]
+        ).alias("bloom_pos"),
+    )
+    return keyed.groupBy("state_bucket").applyInPandasWithState(
+        make_bounded_dedup_fn(exact_cap, bloom_bits),
+        outputStructType=OUT_SCHEMA,
+        stateStructType=BOUNDED_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_dedup_bounded_available_now(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    n_state_buckets: int = 64,
+    exact_cap: int = DEFAULT_EXACT_CAP,
+    bloom_bits: int = DEFAULT_BLOOM_BITS,
+) -> StreamingQuery:
+    dd = dedup_stream_bounded(
+        spark,
+        input_dir,
+        n_state_buckets,
+        exact_cap=exact_cap,
+        bloom_bits=bloom_bits,
+    )
+    q = (
+        dd.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
 
 
 def run_dedup_available_now(
