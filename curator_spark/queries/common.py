@@ -53,7 +53,7 @@ def sql_stopword_list() -> str:
 
 # Words = non-empty whitespace-separated tokens (identical to
 # functions/textstats.words).
-SQL_WORDS = "list_filter(regexp_split_to_array({col}, '\\s+'), x -> x <> '')"
+SQL_WORDS = "list_filter(regexp_split_to_array({col}, '[ \\t\\n\\v\\f\\r]+'), x -> x <> '')"
 
 
 def sql_words(col: str = "text") -> str:

@@ -65,7 +65,7 @@ SQL_SHINGLES2 = (
 )
 
 SQL_WS_CTE = (
-    "SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'),"
+    "SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \\t\\n\\v\\f\\r]+'),"
     " x -> x <> '') AS ws FROM documents"
 )
 
@@ -126,7 +126,7 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DEDUP_NORMALIZED = """
-SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS norm_hash,
+SELECT md5(trim(regexp_replace(lower(text), '[ \\t\\n\\v\\f\\r]+', ' ', 'g'), ' ')) AS norm_hash,
        min(doc_id)::BIGINT AS keep_doc_id,
        count(*)::BIGINT AS dup_count
 FROM documents GROUP BY 1

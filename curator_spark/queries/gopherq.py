@@ -190,7 +190,7 @@ agg{tag} AS (
 SQL_GOPHER_REPETITION = f"""
 WITH base AS (
   SELECT doc_id, {sql_words()} AS ws,
-         length(regexp_replace(text, '\\s+', '', 'g')) AS nws
+         length(regexp_replace(text, '[ \\t\\n\\v\\f\\r]+', '', 'g')) AS nws
   FROM documents
 ),
 {_sql_ngram_cte(2, 'a')},
@@ -284,8 +284,8 @@ SQL_GOPHER_QUALITY = f"""
 WITH base AS (
   SELECT doc_id, {sql_words()} AS ws,
     list_transform(
-      list_filter(regexp_split_to_array(text, '\\n'), l -> trim(l) <> ''),
-      l -> trim(l)) AS ls
+      list_filter(regexp_split_to_array(text, '\\n'), l -> trim(l, ' ') <> ''),
+      l -> trim(l, ' ')) AS ls
   FROM documents
 ),
 stats AS (
@@ -363,7 +363,7 @@ def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_c4_keep_line(var: str = "l") -> str:
     term = _sql_or([f"ends_with({var}, '{c}')" for c in C4_TERMINAL_CHARS])
     wc = (
-        f"len(list_filter(regexp_split_to_array({var}, '\\s+'), x -> x <> ''))"
+        f"len(list_filter(regexp_split_to_array({var}, '[ \\t\\n\\v\\f\\r]+'), x -> x <> ''))"
         f" >= {C4_MIN_LINE_WORDS}"
     )
     clean = " AND ".join(
@@ -376,8 +376,8 @@ SQL_C4_LINE_FILTER = f"""
 WITH base AS (
   SELECT doc_id,
     list_transform(
-      list_filter(regexp_split_to_array(text, '\\n'), l -> trim(l) <> ''),
-      l -> trim(l)) AS ls
+      list_filter(regexp_split_to_array(text, '\\n'), l -> trim(l, ' ') <> ''),
+      l -> trim(l, ' ')) AS ls
   FROM documents
 ),
 filt AS (

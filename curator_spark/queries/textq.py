@@ -30,7 +30,12 @@ from curator_spark.queries.common import spread, sql_stopword_list, sql_words, t
 from curator_spark.stages.scrub import with_scrub
 
 # BPE-ish token pattern: letter runs | digit runs | single other symbol.
-TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# explicit ASCII-ws class, NOT \s: this pattern string is shared
+# verbatim by BOTH engines (Spark regexp_extract_all = java.util.regex,
+# DuckDB = RE2) and the two engines disagree on \s (Java includes
+# \x0B, RE2 does not). \x0B spells VT identically in both; Java
+# would read \v as the vertical-WHITESPACE class (incl. U+2028).
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]"
 
 
 # ---------------------------------------------------------------------------
@@ -56,9 +61,9 @@ def sql_rule_stats() -> str:
 WITH base AS (
   SELECT doc_id,
     {sql_words()} AS ws,
-    length(regexp_replace(text, '\\s+', '', 'g')) AS nws,
+    length(regexp_replace(text, '[ \\t\\n\\v\\f\\r]+', '', 'g')) AS nws,
     length(text) - length(regexp_replace(text, '{sym}', '', 'g')) AS symc,
-    list_filter(regexp_split_to_array(text, '\\n'), l -> trim(l) <> '') AS ls
+    list_filter(regexp_split_to_array(text, '\\n'), l -> trim(l, ' ') <> '') AS ls
   FROM documents
 )
 SELECT doc_id,
@@ -120,9 +125,9 @@ def sql_quality_keepdrop() -> str:
 WITH base AS (
   SELECT doc_id, lang,
     {sql_words()} AS ws,
-    length(regexp_replace(text, '\\s+', '', 'g')) AS nws,
+    length(regexp_replace(text, '[ \\t\\n\\v\\f\\r]+', '', 'g')) AS nws,
     length(text) - length(regexp_replace(text, '{sym}', '', 'g')) AS symc,
-    list_filter(regexp_split_to_array(text, '\\n'), l -> trim(l) <> '') AS ls
+    list_filter(regexp_split_to_array(text, '\\n'), l -> trim(l, ' ') <> '') AS ls
   FROM documents
 ), st AS (
   SELECT doc_id, lang,
@@ -282,7 +287,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_doc_fingerprint() -> str:
     return """
 SELECT doc_id,
-  md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fingerprint
+  md5(regexp_replace(lower(text), '[ \\t\\n\\v\\f\\r]+', ' ', 'g')) AS fingerprint
 FROM documents
 """
 

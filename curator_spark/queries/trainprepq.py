@@ -68,7 +68,7 @@ SQL_SHINGLES = (
 
 SQL_WS_CTE = (
     "SELECT doc_id, lang, "
-    "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws "
+    "list_filter(regexp_split_to_array(text, '[ \\t\\n\\v\\f\\r]+'), x -> x <> '') AS ws "
     "FROM documents"
 )
 
@@ -374,7 +374,7 @@ def q_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SHARD_PACKING = f"""
 WITH base AS (
   SELECT doc_id, lang, doc_id % {PACK_BUCKETS} AS bucket,
-    len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok
+    len(list_filter(regexp_split_to_array(text, '[ \\t\\n\\v\\f\\r]+'), x -> x <> '')) AS tok
   FROM documents
 ),
 packed AS (
