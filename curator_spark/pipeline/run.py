@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from curator_spark.config import QualityConfig
 from curator_spark.pipeline.fingerprint import run_fingerprint
-from curator_spark.pipeline.snapshot import SnapshotTable
+from curator_spark.pipeline.catalog import CuratedTable, open_table
 from curator_spark.stages.decide import with_decision
 from curator_spark.stages.extract import with_extracted_text
 from curator_spark.stages.langid import with_langid
@@ -151,9 +151,17 @@ class RunResult:
 
 
 class QualityPipeline:
-    def __init__(self, out_root: str, cfg: QualityConfig | None = None):
+    def __init__(
+        self,
+        out_root: str,
+        cfg: QualityConfig | None = None,
+        table: CuratedTable | None = None,
+    ):
         self.cfg = cfg or QualityConfig()
-        self.table = SnapshotTable(out_root)
+        # catalog seam: env/conf-driven format (local manifest store in
+        # this sandbox; a real Iceberg/Delta catalog on a cluster), or
+        # an injected CuratedTable for tests/embedding
+        self.table = table if table is not None else open_table(out_root)
 
     # -- resume bookkeeping (from manifest meta, no data read) -------------
     def committed_buckets(self, fp: str) -> set[int]:

@@ -189,9 +189,9 @@ def run_into_snapshot(
     batch commits (source checkpoint handles which files are consumed;
     the idempotent manifest commit handles replayed batches). Returns
     the SnapshotTable."""
-    from curator_spark.pipeline.snapshot import SnapshotTable
+    from curator_spark.pipeline.catalog import open_table
 
-    table = SnapshotTable(table_root)
+    table = open_table(table_root, spark=spark)
     scored = score_stream(spark, input_dir, cfg, max_files_per_trigger)
     q = (
         scored.writeStream.foreachBatch(

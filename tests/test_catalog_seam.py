@@ -1,0 +1,119 @@
+"""Catalog seam (VERDICT r4 ask #9): the local manifest store is a
+conforming `CuratedTable`, the factory routes by config, and the
+pipeline consumes the table only through the seam's surface."""
+
+from __future__ import annotations
+
+import inspect
+
+import pytest
+from pyspark.sql import functions as F
+
+from curator_spark.pipeline.catalog import (
+    FORMAT_ENV,
+    CuratedTable,
+    IcebergTable,
+    LocalSnapshotTable,
+    open_table,
+)
+from curator_spark.pipeline.snapshot import SnapshotTable
+
+
+def test_local_store_conforms_to_seam():
+    """Virtual-subclass registration doesn't enforce methods — audit
+    every abstract method's presence and positional signature on the
+    local store, so seam/store drift fails here."""
+    assert issubclass(SnapshotTable, CuratedTable)
+    for name in CuratedTable.__abstractmethods__:
+        impl = getattr(SnapshotTable, name, None)
+        assert impl is not None, f"SnapshotTable missing {name}"
+        spec = inspect.signature(getattr(CuratedTable, name))
+        impl_spec = inspect.signature(impl)
+        impl_params = list(impl_spec.parameters)
+        for p in spec.parameters:
+            if p in ("args", "kwargs"):
+                continue
+            assert p in impl_params, (
+                f"SnapshotTable.{name} lacks param {p!r} of the seam"
+            )
+
+
+def test_factory_routes_local_and_rejects_unknown(tmp_path, monkeypatch):
+    t = open_table(str(tmp_path / "t"))
+    assert isinstance(t, SnapshotTable)
+    assert isinstance(t, CuratedTable)
+    assert LocalSnapshotTable is SnapshotTable
+    monkeypatch.setenv(FORMAT_ENV, "local")
+    assert isinstance(open_table(str(tmp_path / "t2")), SnapshotTable)
+    with pytest.raises(ValueError, match="unknown table format"):
+        open_table(str(tmp_path / "t3"), fmt="hudi")
+    with pytest.raises(ValueError, match="requires a SparkSession"):
+        open_table("cat.db.t", fmt="iceberg")
+
+
+def test_factory_reads_session_conf(spark, tmp_path):
+    spark.conf.set("spark.curator.table.format", "local")
+    try:
+        t = open_table(str(tmp_path / "t"), spark=spark)
+        assert isinstance(t, SnapshotTable)
+    finally:
+        spark.conf.unset("spark.curator.table.format")
+
+
+def test_iceberg_adapter_fails_cleanly_without_runtime(spark):
+    """No Iceberg jar in this sandbox: construction must degrade with
+    an actionable error, not a deferred AnalysisException mid-write."""
+    with pytest.raises(RuntimeError, match="not reachable"):
+        IcebergTable(spark, "nosuchcat.db.tbl")
+
+
+def test_full_lifecycle_through_the_seam(spark, tmp_path):
+    """Drive append → read → time travel → incremental → merge →
+    delete → compact → changelog → expiry via a CuratedTable-typed
+    variable only (the production call pattern)."""
+    table: CuratedTable = open_table(str(tmp_path / "t"))
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "k bigint, v string, bucket_id int")
+
+    table.append(mk([(1, "a", 0), (2, "b", 1)]), {"step": 1},
+                 partition_by=["bucket_id"])
+    s1 = table.current_snapshot_id()
+    table.append(mk([(3, "c", 0)]), {"step": 2}, partition_by=["bucket_id"])
+
+    assert table.read(spark).count() == 3
+    assert table.read(spark, as_of=s1).count() == 2
+    inc = table.read_incremental(spark, since=s1)
+    assert [r.k for r in inc.collect()] == [3]
+    assert [c["meta"]["step"] for c in table.active_commits()] == [1, 2]
+
+    table.merge_upsert(spark, mk([(2, "B", 1), (4, "d", 1)]), key_col="k")
+    got = {r.k: r.v for r in table.read(spark).collect()}
+    assert got == {1: "a", 2: "B", 3: "c", 4: "d"}
+
+    table.delete_where(spark, condition=F.col("k") == 3,
+                       partition_values=[0])
+    assert {r.k for r in table.read(spark).collect()} == {1, 2, 4}
+
+    table.compact(spark)
+    cl = table.read_changelog(spark, since=s1)
+    assert "_change_type" in cl.columns
+
+    stats = table.expire_snapshots(retain_last=1)
+    assert isinstance(stats, dict)
+    assert {r.k for r in table.read(spark).collect()} == {1, 2, 4}
+
+
+def test_pipeline_accepts_injected_table(spark, tmp_path):
+    from curator_spark.config import QualityConfig
+    from curator_spark.engine.synth import write_pages
+    from curator_spark.pipeline.run import QualityPipeline
+
+    pages = str(tmp_path / "pages")
+    write_pages(spark, pages, 200)
+    injected = open_table(str(tmp_path / "out"), fmt="local")
+    pipe = QualityPipeline(str(tmp_path / "out"), QualityConfig(),
+                           table=injected)
+    assert pipe.table is injected
+    r = pipe.run(spark, pages)
+    assert pipe.read_output(spark, r.fingerprint).count() == 200
