@@ -297,26 +297,56 @@ FROM parsed GROUP BY event_type
 # (blocks/raft.py:111-178, J4/F8): each document draws K "distractor"
 # docs from a different source, pseudo-randomly but DETERMINISTICALLY
 # (rank by md5(doc_id:cand_id) — the seeded-random rule F8; unseeded
-# rand() would break resume and the oracle). Test-scale plan is a
-# broadcast cross join + per-doc top-K window; the 10^12-row path
-# replaces the cross join with a pre-bucketed candidate pool (draw
-# from md5-assigned buckets) so candidates per doc stay O(K), which
-# preserves this exact output distribution shape without the N^2.
+# rand() would break resume and the oracle).
+#
+# Plan (r5, replacing the N^2 cross join the first bench run exposed
+# at 31.8 s/sf0.1): an md5-BUCKETED candidate pool. Every doc hashes
+# into one of ceil(N/POOL) buckets twice — once as a candidate (by
+# cand_id) and once as a querier (by doc_id + '#q', a different
+# stream so a doc's pool is decorrelated from its own candidacy) —
+# and the sampling join becomes a bucket EQUI-join: N·POOL pairs
+# total instead of N^2, shuffled once on the bucket key, then the
+# same per-doc top-K window over ≤POOL rows (no mega-partitions).
+# Bucket id = first 24 md5 bits, portable across engines (Spark
+# conv(hex,16,10) ≡ DuckDB CAST('0x'||hex AS BIGINT)). The bucket
+# count derives from one count(*) (no data columns read) so the
+# oracle can reproduce it as a scalar subquery; per-doc draws stay
+# uniform over the pool, preserving the distribution shape of the
+# exact all-pairs rank at 1/POOL'th the work.
 # ---------------------------------------------------------------------------
 
 N_DISTRACTORS = 3
+DISTRACTOR_POOL = 64   # expected candidates per bucket
+
+
+def _hex24(col):
+    """First 24 bits of md5(col) as a bigint — cross-engine bucket id."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 6), 16, 10).cast(
+        "long"
+    )
 
 
 def q_distractor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    d = t(spark, sf_dir, "documents").select("doc_id", "source")
-    cand = d.select(
-        F.col("doc_id").alias("cand_id"), F.col("source").alias("cand_source")
+    d0 = t(spark, sf_dir, "documents").select("doc_id", "source")
+    nb = max(1, d0.count() // DISTRACTOR_POOL)
+    d = d0.withColumn(
+        "bucket",
+        _hex24(F.concat(F.col("doc_id").cast("string"), F.lit("#q"))) % nb,
+    )
+    cand = d0.select(
+        F.col("doc_id").alias("cand_id"),
+        F.col("source").alias("cand_source"),
+        (_hex24(F.col("doc_id").cast("string")) % nb).alias("cand_bucket"),
     )
     w = Window.partitionBy("doc_id").orderBy("draw", "cand_id")
     return (
-        d.join(F.broadcast(cand), F.col("source") != F.col("cand_source"))
+        d.join(
+            cand,
+            (F.col("bucket") == F.col("cand_bucket"))
+            & (F.col("source") != F.col("cand_source")),
+        )
         .withColumn(
             "draw",
             F.md5(
@@ -332,14 +362,30 @@ def q_distractor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DISTRACTOR_SAMPLE = f"""
+WITH params AS (
+  SELECT greatest(1, count(*) // {DISTRACTOR_POOL}) AS nb FROM documents
+),
+docs AS (
+  SELECT doc_id, source,
+         CAST('0x' || substr(md5(doc_id || '#q'), 1, 6) AS BIGINT)
+           % (SELECT nb FROM params) AS bucket
+  FROM documents
+),
+cands AS (
+  SELECT doc_id AS cand_id, source AS cand_source,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) AS BIGINT)
+           % (SELECT nb FROM params) AS bucket
+  FROM documents
+)
 SELECT doc_id, rk::BIGINT AS rk, cand_id
 FROM (
-  SELECT d.doc_id, c.doc_id AS cand_id,
+  SELECT d.doc_id, c.cand_id,
          row_number() OVER (
            PARTITION BY d.doc_id
-           ORDER BY md5(d.doc_id || ':' || c.doc_id), c.doc_id
+           ORDER BY md5(d.doc_id || ':' || c.cand_id), c.cand_id
          ) AS rk
-  FROM documents d JOIN documents c ON d.source <> c.source
+  FROM docs d JOIN cands c
+    ON d.bucket = c.bucket AND d.source <> c.cand_source
 ) WHERE rk <= {N_DISTRACTORS}
 """
 
