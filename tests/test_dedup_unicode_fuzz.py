@@ -134,6 +134,30 @@ def test_dedup_family_unicode_parity(spark, fuzz_sf_dir, name):
     assert r.values_match, f"{name}: {r.detail}"
 
 
+def test_casemap_divergence_boundary_still_holds(spark):
+    """Sentinel for the DOCUMENTED lower() divergence that keeps
+    U+0130 and final-sigma OUT of the fuzz corpus: Spark (Java full
+    case maps) vs DuckDB (utf8proc simple maps). If an engine upgrade
+    ever converges these, this test fails as a signal to ADD the two
+    codepoints to WORDS and delete the exclusion note."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    rows = spark.createDataFrame([("İ",), ("ΑΣ",)], "t string").select(
+        F.lower("t").alias("l")
+    ).collect()
+    spark_lower = [r.l for r in rows]
+    con = duckdb.connect()
+    duck_lower = [
+        con.execute("SELECT lower(?)", [t]).fetchone()[0]
+        for t in ["İ", "ΑΣ"]
+    ]
+    assert spark_lower == ["i̇", "ας"]     # Java full maps
+    assert duck_lower == ["i", "ασ"]       # utf8proc simple maps
+    assert spark_lower != duck_lower
+
+
 def test_fuzz_corpus_is_adversarial_and_productive(spark, fuzz_sf_dir):
     """Guard the fixture itself: the corpus really contains the attack
     chars, and the pair queries really emit rows (an empty result
