@@ -330,7 +330,16 @@ def q_distractor_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d0 = t(spark, sf_dir, "documents").select("doc_id", "source")
-    nb = max(1, d0.count() // DISTRACTOR_POOL)
+    # bucket count from parquet-footer row counts (EXACT for this
+    # unfiltered scan, zero jobs — same number DuckDB's count(*)
+    # footer path returns, so the oracle's scalar subquery agrees);
+    # count() only when footers are unavailable (non-parquet source)
+    from curator_spark.queries.common import parquet_row_count
+
+    n = parquet_row_count(d0)
+    if n is None:
+        n = d0.count()
+    nb = max(1, n // DISTRACTOR_POOL)
     d = d0.withColumn(
         "bucket",
         _hex24(F.concat(F.col("doc_id").cast("string"), F.lit("#q"))) % nb,

@@ -58,3 +58,29 @@ SQL_WORDS = "list_filter(regexp_split_to_array({col}, '[ \\t\\n\\v\\f\\r]+'), x 
 
 def sql_words(col: str = "text") -> str:
     return SQL_WORDS.format(col=col)
+
+
+def parquet_row_count(df: DataFrame) -> int | None:
+    """Row count from parquet FOOTERS of the scan's input files — no
+    data pass. EXACT for an unfiltered scan (parquet metadata records
+    true row counts); an upper bound once filters prune. Returns None
+    for non-local / non-parquet inputs (a real deployment reads
+    catalog stats or Iceberg snapshot row counts the same way);
+    callers fall back to count() then."""
+    try:
+        from urllib.parse import unquote, urlparse
+
+        import pyarrow.parquet as pq
+
+        files = df.inputFiles()
+        if not files:
+            return None
+        total = 0
+        for uri in files:
+            parsed = urlparse(uri)
+            if parsed.scheme not in ("file", ""):
+                return None
+            total += pq.ParquetFile(unquote(parsed.path)).metadata.num_rows
+        return total
+    except Exception:
+        return None
