@@ -119,16 +119,58 @@ class _SketchMiss(Exception):
     """Sketch residual exceeded RESIDUAL_CAP; caller falls back."""
 
 
+def _negkey(v: Column, i: Column) -> Column:
+    """Struct whose ASC order equals the rank order (value DESC,
+    id ASC), NaN-SAFE: Spark ranks NaN above every other double (NaN
+    rows come FIRST under value DESC, and NaN > x comparisons are
+    true), but -NaN is still NaN and would sort LAST in a plain
+    (-value, id) struct min — silently skipping a NaN boundary row.
+    A leading not-NaN flag restores the order, and disambiguates
+    reconstruction (value=+inf gives nw=-inf with flag 1; NaN gives
+    flag 0, nw unused)."""
+    flag = F.when(F.isnan(v), F.lit(0)).otherwise(F.lit(1))
+    nw = F.when(F.isnan(v), F.lit(0.0)).otherwise(-v)
+    return F.struct(flag.alias("nn"), nw.alias("nw"), i.alias("i"))
+
+
+def _boundary_of(row) -> Boundary:
+    return Boundary(
+        value=float("nan") if row["nn"] == 0 else -row["nw"], id=row["i"]
+    )
+
+
 def _resolve_boundary(
     scored: DataFrame, value_col: str, id_col: str, n_keep: int, n: int
 ) -> Boundary:
-    frac = n_keep / n
     v, i = F.col(value_col), F.col(id_col)
-    tau0 = scored.agg(
+    first = scored.agg(
         F.percentile_approx(
-            value_col, F.lit(1.0 - frac), F.lit(SKETCH_ACC)
-        ).alias("t")
-    ).first()["t"]
+            value_col, F.lit(1.0 - n_keep / n), F.lit(SKETCH_ACC)
+        ).alias("t"),
+        F.count_if(F.isnan(v)).alias("c_nan"),
+    ).first()
+    tau0, c_nan = first["t"], first["c_nan"]
+    if c_nan:
+        # NaN ranks above every other double in Spark, so the first
+        # c_nan ranks are the NaN rows — but percentile_approx cannot
+        # place NaN (it returns NULL/garbage on NaN-heavy input), so
+        # split them out: boundary inside the NaN block is a pure id
+        # tie-split; otherwise resolve on the non-NaN remainder (NaN
+        # rows then satisfy `value > w*` under NaN-greatest compare).
+        if n_keep <= c_nan:
+            tie_id = _kth_smallest_unique(
+                scored.filter(F.isnan(v)).select(id_col),
+                id_col, n_keep, c_nan,
+            )
+            return Boundary(value=float("nan"), id=tie_id)
+        scored = scored.filter(~F.isnan(v))
+        n_keep -= c_nan
+        n -= c_nan
+        tau0 = scored.agg(
+            F.percentile_approx(
+                value_col, F.lit(1.0 - n_keep / n), F.lit(SKETCH_ACC)
+            ).alias("t")
+        ).first()["t"]
     cnt = scored.agg(
         F.count_if(v > tau0).alias("c_gt"),
         F.count_if(v == tau0).alias("c_eq"),
@@ -146,11 +188,11 @@ def _resolve_boundary(
             .orderBy(v.asc(), i.desc())
             .limit(excess + 1)
             # composite max under (value DESC, id ASC) == struct min of
-            # (-value, id); negation is exact for IEEE doubles
-            .agg(F.min(F.struct((-v).alias("nw"), i.alias("i"))).alias("b"))
+            # the NaN-safe negated key; negation is exact for IEEE
+            .agg(F.min(_negkey(v, i)).alias("b"))
             .first()["b"]
         )
-        return Boundary(value=-row["nw"], id=row["i"])
+        return _boundary_of(row)
     need = n_keep - c_gt
     if need <= c_eq:
         # boundary inside the pivot's tie set: value tau0, id = the
@@ -167,10 +209,12 @@ def _resolve_boundary(
         scored.filter(v < tau0)
         .orderBy(v.desc(), i.asc())
         .limit(deficit)
-        .agg(F.max(F.struct((-v).alias("nw"), i.alias("i"))).alias("b"))
+        # v < tau0 excludes NaN (NaN compares greater), but use the
+        # same NaN-safe key for uniformity
+        .agg(F.max(_negkey(v, i)).alias("b"))
         .first()["b"]
     )
-    return Boundary(value=-row["nw"], id=row["i"])
+    return _boundary_of(row)
 
 
 def mark_top_frac(
@@ -184,27 +228,39 @@ def mark_top_frac(
     rows by (value DESC, id ASC), computed threshold-style (module
     docstring). Persists `scored` for the duration of the scalar
     probes; the returned frame filters the persisted input with a
-    narrow predicate (no window, no extra shuffle)."""
+    narrow predicate (no window, no extra shuffle).
+
+    Contract: `value_col` must be non-NULL (coalesce first — NULL
+    poisons the comparison predicate). NaN IS supported and ranks
+    above every other value, matching Spark's rank ordering."""
     scored = scored.persist()
-    n = scored.count()
-    n_keep = int(frac * n)
-    if n_keep <= 0:
-        return scored.withColumn(out_col, F.lit(False))
-    if n_keep >= n:
-        return scored.withColumn(out_col, F.lit(True))
+    # unpersist before returning: the probes (count/sketch/boundary)
+    # are what the cache pays for; the returned frame is lazy and just
+    # recomputes the input once when the CALLER executes it. Holding
+    # the cache past return leaked one full-corpus cache entry per
+    # invocation (bench best-of loops pin the corpus repeatedly).
     try:
-        b = _resolve_boundary(scored, value_col, id_col, n_keep, n)
-        return scored.withColumn(
-            out_col, b.selects(F.col(value_col), F.col(id_col))
-        )
-    except _SketchMiss:
-        # pathological sketch miss: exact global-rank fallback —
-        # correct at any scale, single-task sort (the plan this module
-        # exists to avoid; kept only as the correctness backstop)
-        rk = F.row_number().over(
-            Window.orderBy(F.col(value_col).desc(), F.col(id_col).asc())
-        )
-        return scored.withColumn(out_col, rk <= n_keep)
+        n = scored.count()
+        n_keep = int(frac * n)
+        if n_keep <= 0:
+            return scored.withColumn(out_col, F.lit(False))
+        if n_keep >= n:
+            return scored.withColumn(out_col, F.lit(True))
+        try:
+            b = _resolve_boundary(scored, value_col, id_col, n_keep, n)
+            return scored.withColumn(
+                out_col, b.selects(F.col(value_col), F.col(id_col))
+            )
+        except _SketchMiss:
+            # pathological sketch miss: exact global-rank fallback —
+            # correct at any scale, single-task sort (the plan this
+            # module exists to avoid; kept only as the backstop)
+            rk = F.row_number().over(
+                Window.orderBy(F.col(value_col).desc(), F.col(id_col).asc())
+            )
+            return scored.withColumn(out_col, rk <= n_keep)
+    finally:
+        scored.unpersist()
 
 
 def salted_partition_rank(
@@ -261,6 +317,9 @@ def salted_partition_rank(
     return (
         d.withColumn("_rk_in", rk_in)
         .join(F.broadcast(offs), [part_col, "_salt"])
-        .withColumn(out_col, (F.col("_off") + F.col("_rk_in")).cast("int"))
+        # long, not int: the whole point of this function is partitions
+        # too big for one task — a >2^31-row partition would wrap an
+        # int rank negative and silently corrupt every rk-<= filter
+        .withColumn(out_col, (F.col("_off") + F.col("_rk_in")).cast("long"))
         .drop("_k", "_salt", "_rk_in", "_off")
     )

@@ -60,6 +60,15 @@ class CuratedTable(abc.ABC):
         """Atomically publish staged data + commit metadata."""
 
     @abc.abstractmethod
+    def commit_parts(self, parts: list[dict[str, str]],
+                     meta: dict[str, Any],
+                     replaces: list[int] | None = None,
+                     op: str = "append") -> int:
+        """Publish a multi-part snapshot ({path, base} refs); with
+        parts == [] this is a metadata-only commit (zero-row run
+        slices still need their bucket bookkeeping committed)."""
+
+    @abc.abstractmethod
     def append(self, df: DataFrame, meta: dict[str, Any],
                partition_by: list[str] | None = None) -> str:
         """stage + write + commit in one call."""
@@ -153,6 +162,36 @@ class IcebergTable(CuratedTable):
            .append())
         return self.current_snapshot_id()
 
+    def commit_parts(self, parts, meta, replaces=None, op="append") -> int:
+        """parts == [] (the zero-row run-slice bookkeeping commit):
+        append an empty slice of the table carrying the meta snapshot
+        properties. Non-empty by-reference parts exist for the local
+        store's COW protocol — Iceberg performs file-level rewrites
+        internally (delete_where/merge_upsert/compact map to its SQL
+        and procedures), so here the parts are materialized through a
+        plain read+append."""
+        if not parts:
+            (self.spark.table(self.identifier).limit(0)
+                 .writeTo(self.identifier)
+                 .option(f"snapshot-property.{self.META_PROP}",
+                         json.dumps(meta))
+                 .option("snapshot-property.curator-op", op)
+                 .append())
+            return self.current_snapshot_id()
+        df = None
+        for p in parts:
+            part = self.spark.read.option("basePath", p["base"]).parquet(
+                p["path"]
+            )
+            df = part if df is None else df.unionByName(
+                part, allowMissingColumns=True
+            )
+        (df.writeTo(self.identifier)
+           .option(f"snapshot-property.{self.META_PROP}", json.dumps(meta))
+           .option("snapshot-property.curator-op", op)
+           .append())
+        return self.current_snapshot_id()
+
     def append(self, df, meta, partition_by=None) -> str:
         (df.writeTo(self.identifier)
            .option(f"snapshot-property.{self.META_PROP}", json.dumps(meta))
@@ -169,35 +208,60 @@ class IcebergTable(CuratedTable):
         return int(row[0][0]) if row else 0
 
     def active_commits(self, as_of=None) -> list[dict[str, Any]]:
-        q = (f"SELECT snapshot_id, operation, summary "
+        """Chronological commit lineage from the `.snapshots` metadata
+        table. `as_of` truncates AT that snapshot (inclusive) by
+        POSITION in commit order — Iceberg snapshot ids are random
+        64-bit values, so numeric comparison against them would pick
+        an arbitrary subset of history."""
+        q = (f"SELECT snapshot_id, parent_id, operation, summary "
              f"FROM {self.identifier}.snapshots ORDER BY committed_at")
+        rows = self.spark.sql(q).collect()
         out = []
-        for r in self.spark.sql(q).collect():
-            if as_of is not None and int(r.snapshot_id) > as_of:
-                continue
+        for r in rows:
             summary = dict(r.summary or {})
             out.append({
                 "snapshot_id": int(r.snapshot_id),
+                "parent_id": (int(r.parent_id)
+                              if r.parent_id is not None else None),
                 "op": summary.get("curator-op", r.operation),
                 "meta": json.loads(summary.get(self.META_PROP, "{}")),
             })
+        if as_of is not None:
+            ids = [c["snapshot_id"] for c in out]
+            if as_of not in ids:
+                raise ValueError(
+                    f"snapshot {as_of} not in {self.identifier} history"
+                )
+            out = out[: ids.index(as_of) + 1]
         return out
 
     # -- reads ---------------------------------------------------------------
     def read(self, spark, predicate=None, as_of=None):
         if predicate is not None:
-            keep = {c["snapshot_id"] for c in self.active_commits(as_of)
-                    if predicate(c["meta"])}
+            # per-snapshot incremental unions mirror the local store's
+            # meta-predicate read; plain reads never take this path.
+            # The exclusive lower bound of each one-snapshot slice is
+            # the snapshot's PARENT id from the .snapshots table —
+            # Iceberg ids are random, sid-1 is not a snapshot.
+            keep = [c for c in self.active_commits(as_of)
+                    if predicate(c["meta"])]
             if not keep:
                 return None
-            # per-snapshot incremental unions mirror the local store's
-            # meta-predicate read; plain reads never take this path
-            parts = [
-                spark.read.format("iceberg")
-                .option("start-snapshot-id", sid - 1)
-                .option("end-snapshot-id", sid).load(self.identifier)
-                for sid in sorted(keep)
-            ]
+            parts = []
+            for c in keep:
+                if c["parent_id"] is None:
+                    # root snapshot: its full content IS its append
+                    parts.append(
+                        spark.read.option("snapshot-id", c["snapshot_id"])
+                        .table(self.identifier)
+                    )
+                else:
+                    parts.append(
+                        spark.read.format("iceberg")
+                        .option("start-snapshot-id", c["parent_id"])
+                        .option("end-snapshot-id", c["snapshot_id"])
+                        .load(self.identifier)
+                    )
             df = parts[0]
             for p in parts[1:]:
                 df = df.unionByName(p, allowMissingColumns=True)
@@ -226,9 +290,48 @@ class IcebergTable(CuratedTable):
         return spark.table("curator_changes")
 
     # -- mutation + maintenance (COW is Iceberg-internal) -----------------
-    def delete_where(self, spark, condition=None, **kwargs):
-        spark.sql(f"DELETE FROM {self.identifier} WHERE {condition}")
-        return {"snapshot_id": self.current_snapshot_id()}
+    def delete_where(self, spark, condition=None, partition_values=None,
+                     partition_col="bucket_id", predicate=None,
+                     meta_note="delete", anti_keys=None, key_col="url"):
+        """Maps the local store's delete surface onto `DELETE FROM`:
+        `anti_keys` (the delete-list DataFrame, e.g. GDPR urls) becomes
+        an IN-subquery on a temp view; `partition_values` become an
+        explicit partition-column conjunct (Iceberg additionally
+        prunes on it); a string `condition` is used verbatim. A
+        pyspark Column condition and meta-`predicate` scoping are
+        local-store concepts — rejected with guidance rather than
+        silently dropped (the silent **kwargs swallow produced
+        `DELETE ... WHERE None`)."""
+        if predicate is not None:
+            raise ValueError(
+                "meta-predicate delete scoping is a manifest-store "
+                "concept; scope the Iceberg DELETE by a data column"
+            )
+        clauses = []
+        if anti_keys is not None:
+            view = f"curator_del_{uuid.uuid4().hex[:8]}"
+            anti_keys.select(key_col).createOrReplaceTempView(view)
+            clauses.append(
+                f"{key_col} IN (SELECT {key_col} FROM {view})"
+            )
+        if condition is not None:
+            if not isinstance(condition, str):
+                raise ValueError(
+                    "the Iceberg adapter needs the delete condition as "
+                    "SQL text, not a pyspark Column"
+                )
+            clauses.append(f"({condition})")
+        if partition_values:
+            vals = ", ".join(repr(v) for v in partition_values)
+            clauses.append(f"{partition_col} IN ({vals})")
+        if not clauses:
+            raise ValueError("refusing an unscoped DELETE (no condition)")
+        spark.sql(
+            f"DELETE FROM {self.identifier} WHERE "
+            + " AND ".join(clauses)
+        )
+        return {"snapshot_id": self.current_snapshot_id(),
+                "note": meta_note}
 
     def merge_upsert(self, spark, updates, key_col, **kwargs) -> int:
         updates.createOrReplaceTempView("curator_merge_src")
@@ -244,10 +347,24 @@ class IcebergTable(CuratedTable):
         )
         return self.current_snapshot_id()
 
-    def compact(self, spark, predicate=None, **kwargs):
+    def compact(self, spark, predicate=None, where: str | None = None,
+                **kwargs):
+        """rewrite_data_files; `where` (SQL text) scopes the rewrite —
+        the procedure's own `where` argument. The local store's
+        meta-`predicate` scoping has no Iceberg analog (snapshot
+        summaries don't partition data files), so it is rejected, not
+        ignored — an unscoped whole-table rewrite is an expensive
+        surprise."""
+        if predicate is not None:
+            raise ValueError(
+                "meta-predicate compaction scoping is a manifest-store "
+                "concept; use `where` (a data-column SQL filter) here"
+            )
+        args = f"table => '{self.identifier}'"
+        if where:
+            args += f", where => '{where}'"
         spark.sql(
-            f"CALL {self._catalog}.system.rewrite_data_files("
-            f"table => '{self.identifier}')"
+            f"CALL {self._catalog}.system.rewrite_data_files({args})"
         )
         return self.current_snapshot_id()
 
@@ -267,11 +384,14 @@ def open_table(
     """Config-driven table constructor — THE seam.
 
     Format resolution: explicit `fmt` arg > session conf
-    ``spark.curator.table.format`` > env ``CURATOR_TABLE_FORMAT`` >
-    "local". For "local", `root_or_identifier` is a filesystem root;
-    for "iceberg", a fully-qualified table identifier (requires
-    `spark`).
+    ``spark.curator.table.format`` (from `spark` or, when the caller
+    has no session handle — QualityPipeline's constructor — the active
+    session) > env ``CURATOR_TABLE_FORMAT`` > "local". For "local",
+    `root_or_identifier` is a filesystem root; for "iceberg", a
+    fully-qualified table identifier (requires a session).
     """
+    if spark is None:
+        spark = SparkSession.getActiveSession()
     if fmt is None and spark is not None:
         try:
             fmt = spark.conf.get(FORMAT_CONF, None)

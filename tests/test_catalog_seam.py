@@ -67,6 +67,24 @@ def test_iceberg_adapter_fails_cleanly_without_runtime(spark):
         IcebergTable(spark, "nosuchcat.db.tbl")
 
 
+def test_iceberg_delete_guards_fire_before_any_sql(spark):
+    """The adapter's delete/compact argument mapping is validated
+    jar-free: every rejection path must raise BEFORE touching SQL
+    (the original **kwargs swallow executed `DELETE ... WHERE None`)."""
+    t = IcebergTable.__new__(IcebergTable)   # bypass the jar probe
+    t.spark, t.identifier, t._catalog = spark, "cat.db.t", "cat"
+    from pyspark.sql import functions as F
+
+    with pytest.raises(ValueError, match="unscoped DELETE"):
+        t.delete_where(spark)
+    with pytest.raises(ValueError, match="SQL text"):
+        t.delete_where(spark, condition=F.col("k") == 1)
+    with pytest.raises(ValueError, match="meta-predicate"):
+        t.delete_where(spark, condition="k = 1", predicate=lambda m: True)
+    with pytest.raises(ValueError, match="meta-predicate"):
+        t.compact(spark, predicate=lambda m: True)
+
+
 def test_full_lifecycle_through_the_seam(spark, tmp_path):
     """Drive append → read → time travel → incremental → merge →
     delete → compact → changelog → expiry via a CuratedTable-typed

@@ -22,16 +22,23 @@ from curator_spark.functions.topk import mark_top_frac
 
 def _expected(df: pd.DataFrame, frac: float) -> set[int]:
     n_keep = int(frac * len(df))
+    # Spark ranks NaN ABOVE every other double; pandas sort_values puts
+    # NaN last regardless of direction — order by an explicit is-nan
+    # key so the oracle matches Spark's (value DESC, id ASC) semantics
+    d = df.assign(_nan=df["v"].isna())
     return set(
-        df.sort_values(["v", "id"], ascending=[False, True])["id"].head(
-            n_keep
-        )
+        d.sort_values(["_nan", "v", "id"], ascending=[False, False, True])[
+            "id"
+        ].head(n_keep)
     )
 
 
 def _check(spark, rows: list[tuple[int, float]], frac: float) -> None:
     pdf = pd.DataFrame(rows, columns=["id", "v"])
-    sdf = spark.createDataFrame(pdf)
+    # tuples, not the pandas frame: createDataFrame(pdf) silently
+    # converts float NaN to NULL (out of mark_top_frac's contract);
+    # the tuple path preserves NaN as a real double
+    sdf = spark.createDataFrame(rows, "id bigint, v double")
     out = mark_top_frac(sdf, "v", "id", frac).toPandas()
     got = set(out.loc[out["selected"], "id"])
     assert got == _expected(pdf, frac), (
@@ -50,6 +57,16 @@ DISTRIBUTIONS = {
     ],
     "negatives_and_zero": lambda rng, n: [
         (i, round(rng.uniform(-1e-5, 1e-5), 6)) for i in range(n)
+    ],
+    # NaN ranks first in Spark; a NaN block straddling the boundary
+    # exercises the NaN-safe _negkey (plain -v would skip NaN rows)
+    "nan_block": lambda rng, n: [
+        (i, float("nan") if i < n // 3 else float(rng.randrange(9)))
+        for i in range(n)
+    ],
+    "infinities": lambda rng, n: [
+        (i, [float("inf"), float("-inf"), 0.0, 1.5][i % 4])
+        for i in range(n)
     ],
 }
 
