@@ -47,7 +47,11 @@ def test_factory_routes_local_and_rejects_unknown(tmp_path, monkeypatch):
     assert isinstance(open_table(str(tmp_path / "t2")), SnapshotTable)
     with pytest.raises(ValueError, match="unknown table format"):
         open_table(str(tmp_path / "t3"), fmt="hudi")
-    with pytest.raises(ValueError, match="requires a SparkSession"):
+    # fmt="iceberg" resolves the ACTIVE session when none is passed:
+    # with a live session (any other test created one) the jar probe
+    # raises RuntimeError; with truly no session it's a ValueError —
+    # either way it must not fall through to a local store
+    with pytest.raises((ValueError, RuntimeError)):
         open_table("cat.db.t", fmt="iceberg")
 
 
