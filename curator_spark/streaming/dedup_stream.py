@@ -45,9 +45,10 @@ bounded mode keeps state size CONSTANT per bucket after a warm-up:
   bits = 1 MiB/bucket, k = 5) give p ≈ 1.8% at n = 10^6 docs/bucket
   and p ≈ 0.1% at n = 3·10^5; size `bloom_bits ≈ 10–14 bits per
   expected doc per bucket` and scale `n_state_buckets` with the
-  corpus. An exact-confirm side lookup against the emitted snapshot
-  table can zero the FP rate where required; the streaming operator
-  itself stays constant-state.
+  corpus. Where zero loss is required, `reconcile_bloom_drops` (below)
+  recovers exactly the FP-dropped urls with one batch anti-join pass
+  against the emitted output; the streaming operator itself stays
+  constant-state.
 """
 
 from __future__ import annotations
@@ -265,6 +266,48 @@ def run_dedup_bounded_available_now(
     )
     q.awaitTermination()
     return q
+
+
+def reconcile_bloom_drops(
+    spark: SparkSession, input_dir: str, emitted_dir: str
+) -> DataFrame:
+    """Batch pass that ZEROES the bounded stream's Bloom FP rate.
+
+    The bounded operator's only error is one-sided: a Bloom false
+    positive silently DROPS a genuinely-new url (module docstring).
+    This pass recovers exactly those urls after (or between) drains:
+    every url_hash present in the input but absent from the emitted
+    output is, by construction, a Bloom casualty — a true duplicate's
+    hash is always present in the output via its first occurrence.
+
+    Returns one row per dropped url in the stream's OUT_SCHEMA, with a
+    DETERMINISTIC representative occurrence (min by (warc_ts, text))
+    — the stream lost the arrival-order first occurrence, and for
+    dedup semantics any single occurrence is equally valid; the min
+    makes the pick stable under retries and repartitioning.
+
+    Plan shape at scale: one narrow projection of the input, one
+    hash-keyed LEFT ANTI join against the emitted output (both sides
+    shuffle once on url_hash), then a groupBy over ONLY the surviving
+    rows — the survivor set is the FP set (~p x corpus, p the
+    documented Bloom FP rate), so the second shuffle is tiny. Union
+    the result with the emitted output to get exact first-occurrence
+    dedup at a constant-state stream cost plus one batch pass.
+    """
+    pages = spark.read.schema(PAGES).parquet(input_dir)
+    emitted = spark.read.parquet(emitted_dir).select("url_hash")
+    cand = pages.select(
+        # same hash the stream computes, so the anti-join keys align
+        F.md5(F.col("url").cast("binary")).alias("url_hash"),
+        "url",
+        "warc_ts",
+        "text",
+    )
+    dropped = cand.join(emitted, "url_hash", "left_anti")
+    first = dropped.groupBy("url_hash").agg(
+        F.min(F.struct("warc_ts", "text", "url")).alias("b")
+    )
+    return first.select(F.col("b.url").alias("url"), "url_hash", F.col("b.text").alias("text"))
 
 
 def run_dedup_available_now(

@@ -22,6 +22,7 @@ import pandas as pd
 
 from curator_spark.streaming.dedup_stream import (
     make_bounded_dedup_fn,
+    reconcile_bloom_drops,
     run_dedup_bounded_available_now,
 )
 
@@ -154,3 +155,45 @@ def test_bounded_stream_end_to_end(spark, pages_path, tmp_path):
     )
     assert out.count() == expect
     assert out.select("url").distinct().count() == expect
+
+
+def test_reconcile_zeroes_bloom_drops(spark, pages_path, tmp_path):
+    """A deliberately-tiny bloom (64 bits for ~75 docs) saturates and
+    FP-drops most post-cap urls; reconcile_bloom_drops must recover
+    EXACTLY the dropped set, so emitted + reconciled == exact distinct
+    urls with no overlap and a stable schema."""
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src = sorted(glob.glob(os.path.join(pages_path, "*.parquet")))
+    # drain 1 crosses exact_cap and saturates the 64-bit bloom; the
+    # transition applies from the NEXT state-fn chunk, so the FP drops
+    # land on drain 2's genuinely-new urls
+    shutil.copy(src[0], os.path.join(in_dir, "a.parquet"))
+    run_dedup_bounded_available_now(
+        spark, in_dir, out_dir, ckpt,
+        n_state_buckets=2, exact_cap=5, bloom_bits=64,
+    )
+    shutil.copy(src[1], os.path.join(in_dir, "b.parquet"))
+    run_dedup_bounded_available_now(
+        spark, in_dir, out_dir, ckpt,
+        n_state_buckets=2, exact_cap=5, bloom_bits=64,
+    )
+    emitted = spark.read.parquet(out_dir)
+    truth = spark.read.parquet(in_dir).select("url").distinct()
+    n_truth = truth.count()
+    # the saturated bloom must actually have dropped something, or the
+    # reconcile path isn't exercised (p ~ 0.99 per post-cap doc here)
+    assert emitted.count() < n_truth
+
+    rec = reconcile_bloom_drops(spark, in_dir, out_dir)
+    assert rec.columns == ["url", "url_hash", "text"]
+    # exact complement: no overlap, union restores the full url set
+    assert rec.join(emitted, "url_hash", "inner").count() == 0
+    union = emitted.select("url").union(rec.select("url"))
+    assert union.distinct().count() == union.count() == n_truth
+    # deterministic representative: a second run picks identical rows
+    rec2 = reconcile_bloom_drops(spark, in_dir, out_dir)
+    assert rec.exceptAll(rec2).count() == 0
+    assert rec2.exceptAll(rec).count() == 0
