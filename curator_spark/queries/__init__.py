@@ -126,6 +126,7 @@ EXTRA = [
     "lang_distribution",
     "quality_score",
     "dedup_keep_list",
+    "dedup_clusters_star",
     "boilerplate_scrub",
     "events_hourly_rollup",
     "clicks_before_error",

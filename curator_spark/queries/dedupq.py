@@ -607,6 +607,28 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dedup_clusters with the log-round star-contraction driver
+    swapped in — the SAME fixpoint (component min), so it shares
+    q_dedup_clusters' DuckDB oracle verbatim. This is the driver to
+    run when candidate pairs chain (versioned page runs) and the
+    component diameter stops being the near-clique 2-3."""
+    pairs = q_dedup_minhash_lsh(spark, sf_dir)
+    edges = pairs.selectExpr("doc_a AS s", "doc_b AS d").unionAll(
+        pairs.selectExpr("doc_b AS s", "doc_a AS d")
+    ).localCheckpoint(eager=False)
+    labels = star_contract_components(edges)
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", "doc_id").alias("cluster_id"),
+        )
+    )
+
+
 def _sql_clusters() -> str:
     return f"""
 WITH RECURSIVE pairs AS ({_sql_minhash()}),
@@ -881,6 +903,7 @@ QUERIES = {
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_clusters_star": q_dedup_clusters_star,
     "boilerplate_segments": q_boilerplate_segments,
     "boilerplate_scrub": q_boilerplate_scrub,
     "substring_dup_spans": q_substring_dup_spans,
@@ -893,6 +916,7 @@ ORACLES = {
     "dedup_jaccard_pairs": SQL_DEDUP_JACCARD,
     "dedup_minhash_lsh": _sql_minhash(),
     "dedup_clusters": _sql_clusters(),
+    "dedup_clusters_star": _sql_clusters(),
     "dedup_keep_list": _sql_keep_list(),
     "boilerplate_segments": SQL_BOILERPLATE,
     "boilerplate_scrub": SQL_BOILERPLATE_SCRUB,
