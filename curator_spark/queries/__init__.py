@@ -135,6 +135,7 @@ EXTRA = [
     "value_percentiles",
     "browsers_never_buying",
     "domain_doc_stats",
+    "corpus_profile_sketch",
 ]
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -399,8 +399,44 @@ FROM (
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus_profile_sketch — one-pass sketch profile, the 100 TB way.
+# ---------------------------------------------------------------------------
+
+def q_corpus_profile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile built ENTIRELY from mergeable sketch
+    aggregates: HyperLogLog++ distinct-text estimates
+    (approx_count_distinct) and GK quantile sketches
+    (percentile_approx) keep fixed-size per-partition state that
+    combines map-side, so profiling a 100 TB corpus is ONE scan plus a
+    shuffle of n_sources sketch buffers — never an exact-distinct
+    shuffle of the text hashes or a sort for percentiles. This is the
+    profiling pattern the exact queries (domain_doc_stats) cannot
+    afford at scale when the statistic itself is holistic.
+
+    No DuckDB oracle: sketch estimates are engine-specific by design.
+    tests/test_corpus_profile.py bounds every estimate against the
+    exact value computed independently in pandas (HLL relative-error
+    envelope, quantile rank-error window) and pins the exact columns.
+    """
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.approx_count_distinct(
+                F.md5(F.col("text").cast("binary")), rsd=0.02
+            ).alias("approx_distinct_texts"),
+            F.percentile_approx("n_chars", 0.5, 10_000).alias("p50_chars"),
+            F.percentile_approx("n_chars", 0.99, 10_000).alias("p99_chars"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
 QUERIES = {
     "domain_doc_stats": q_domain_doc_stats,
+    "corpus_profile_sketch": q_corpus_profile_sketch,
     "asof_last_click_before_error": q_asof_last_click,
     "distractor_sample": q_distractor_sample,
     "revenue_rollup": q_revenue_rollup,
