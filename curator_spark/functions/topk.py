@@ -151,16 +151,27 @@ def _boundary_of(row) -> Boundary:
 
 
 def _resolve_boundary(
-    scored: DataFrame, value_col: str, id_col: str, n_keep: int, n: int
+    scored: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_keep: int,
+    n: int,
+    tau0: float | None = None,
+    c_nan: int | None = None,
 ) -> Boundary:
     v, i = F.col(value_col), F.col(id_col)
-    first = scored.agg(
-        F.percentile_approx(
-            value_col, F.lit(1.0 - n_keep / n), F.lit(SKETCH_ACC)
-        ).alias("t"),
-        F.count_if(F.isnan(v)).alias("c_nan"),
-    ).first()
-    tau0, c_nan = first["t"], first["c_nan"]
+    if tau0 is None or c_nan is None:
+        # caller didn't prefetch the sketch (mark_top_frac fuses it
+        # into its count job); a caller-supplied tau0 may sit up to
+        # one rank off the n_keep/n fraction — the exact counts below
+        # absorb that into the residual budget
+        first = scored.agg(
+            F.percentile_approx(
+                value_col, F.lit(1.0 - n_keep / n), F.lit(SKETCH_ACC)
+            ).alias("t"),
+            F.count_if(F.isnan(v)).alias("c_nan"),
+        ).first()
+        tau0, c_nan = first["t"], first["c_nan"]
     if c_nan:
         # NaN ranks above every other double in Spark, so the first
         # c_nan ranks are the NaN rows — but percentile_approx cannot
@@ -260,14 +271,32 @@ def mark_top_frac(
             pass  # prior entry's session may already be stopped
     scored = scored.persist()
     try:
-        n = scored.count()
+        # ONE job materializes the persisted input AND prefetches the
+        # boundary sketch + NaN census: the percentile fraction uses
+        # `frac` directly (floor(frac*n)/n differs from it by < 1/n,
+        # i.e. at most one rank — inside the sketch error the exact
+        # probes already resolve), so it needs no prior count() job.
+        # On a real cluster every saved action is a full job barrier.
+        stats = scored.agg(
+            F.count("*").alias("n"),
+            F.percentile_approx(
+                value_col,
+                F.lit(min(1.0, max(0.0, 1.0 - frac))),
+                F.lit(SKETCH_ACC),
+            ).alias("t"),
+            F.count_if(F.isnan(F.col(value_col))).alias("c_nan"),
+        ).first()
+        n = stats["n"]
         n_keep = int(frac * n)
         if n_keep <= 0:
             return scored.withColumn(out_col, F.lit(False))
         if n_keep >= n:
             return scored.withColumn(out_col, F.lit(True))
         try:
-            b = _resolve_boundary(scored, value_col, id_col, n_keep, n)
+            b = _resolve_boundary(
+                scored, value_col, id_col, n_keep, n,
+                stats["t"], stats["c_nan"],
+            )
             return scored.withColumn(
                 out_col, b.selects(F.col(value_col), F.col(id_col))
             )
