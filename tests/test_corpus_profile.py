@@ -41,7 +41,8 @@ def test_sketches_inside_error_envelopes(spark):
         assert row["n_docs"] == len(g)
         assert row["sum_chars"] == g["n_chars"].sum()
         # HLL++ at rsd=0.02: allow 5 sigma (plus +/-1 for tiny groups)
-        exact_distinct = g["h"].nunique(dropna=False)
+        # approx_count_distinct skips NULLs, so the exact side must too
+        exact_distinct = g["h"].nunique()
         tol = max(1.0, 5 * 0.02 * exact_distinct)
         assert abs(row["approx_distinct_texts"] - exact_distinct) <= tol
         # percentile_approx(acc=A) guarantees rank error <= n/A; at
