@@ -68,6 +68,10 @@ DISTRIBUTIONS = {
         (i, [float("inf"), float("-inf"), 0.0, 1.5][i % 4])
         for i in range(n)
     ],
+    # every value NaN: the fused prefetch sketch returns NULL, so the
+    # resolver must re-sketch and then land entirely in the NaN
+    # tie-split branch (boundary is a pure id split)
+    "all_nan": lambda rng, n: [(i, float("nan")) for i in range(n)],
 }
 
 
@@ -100,6 +104,8 @@ def test_edge_fracs(spark):
     _check(spark, rows, 0.0)    # n_keep = 0 -> nothing selected
     _check(spark, rows, 1.0)    # everything selected
     _check(spark, rows, 0.999)  # floor() boundary
+    _check(spark, [(0, 1.0)], 0.5)  # single row, n_keep = 0
+    _check(spark, [(0, 1.0)], 1.0)  # single row, n_keep = 1
 
 
 def test_no_window_in_plan(spark):
