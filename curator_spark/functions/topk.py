@@ -160,7 +160,7 @@ def _resolve_boundary(
     c_nan: int | None = None,
 ) -> Boundary:
     v, i = F.col(value_col), F.col(id_col)
-    if tau0 is None or c_nan is None:
+    if c_nan is None:
         # caller didn't prefetch the sketch (mark_top_frac fuses it
         # into its count job); a caller-supplied tau0 may sit up to
         # one rank off the n_keep/n fraction — the exact counts below
@@ -172,6 +172,10 @@ def _resolve_boundary(
             F.count_if(F.isnan(v)).alias("c_nan"),
         ).first()
         tau0, c_nan = first["t"], first["c_nan"]
+    # NOTE: a prefetched c_nan with tau0=None (all-NaN column makes
+    # percentile_approx return NULL) deliberately does NOT re-sketch —
+    # the NaN branch below either resolves on c_nan alone or
+    # re-sketches the NaN-filtered remainder itself.
     if c_nan:
         # NaN ranks above every other double in Spark, so the first
         # c_nan ranks are the NaN rows — but percentile_approx cannot
@@ -193,6 +197,11 @@ def _resolve_boundary(
                 value_col, F.lit(1.0 - n_keep / n), F.lit(SKETCH_ACC)
             ).alias("t")
         ).first()["t"]
+    if tau0 is None:
+        # no pivot despite 0 < n_keep < n non-NaN rows — only reachable
+        # outside the non-NULL contract; the exact rank fallback still
+        # answers correctly rather than comparing against NULL below
+        raise _SketchMiss()
     cnt = scored.agg(
         F.count_if(v > tau0).alias("c_gt"),
         F.count_if(v == tau0).alias("c_eq"),
@@ -239,6 +248,19 @@ def _resolve_boundary(
     return _boundary_of(row)
 
 
+def release_probe_cache() -> None:
+    """Unpersist the probe cache the last `mark_top_frac` call left
+    live. Always safe (Spark recomputes on next access); call it when
+    the returned frame's consumer has run its action and the storage
+    memory should go back — e.g. between pipeline stages in a
+    long-lived driver. A no-op when nothing is cached."""
+    while _LIVE_CACHE:
+        try:
+            _LIVE_CACHE.pop().unpersist()
+        except Exception:
+            pass  # prior entry's session may already be stopped
+
+
 def mark_top_frac(
     scored: DataFrame,
     value_col: str,
@@ -262,13 +284,15 @@ def mark_top_frac(
     measured 3-4x on dsir_importance). Exactly one entry stays live:
     the next invocation releases the previous one (_LIVE_CACHE), so
     repeated calls don't accumulate cache. Unpersisting early is
-    always CORRECT (Spark just recomputes), so a caller that wants the
-    memory back immediately may scored.unpersist() after its action."""
-    while _LIVE_CACHE:
-        try:
-            _LIVE_CACHE.pop().unpersist()
-        except Exception:
-            pass  # prior entry's session may already be stopped
+    always CORRECT (Spark just recomputes), so a long-lived driver app
+    should call `release_probe_cache()` (or scored.unpersist()) once
+    the consumer of the returned frame has executed its action —
+    otherwise the last corpus-sized projection stays pinned in storage
+    memory for the life of the process. The slot is a single
+    module-global (not thread-safe): interleaving a second call before
+    executing the first call's output unpersists the first input —
+    still correct, it just recomputes its lineage."""
+    release_probe_cache()
     scored = scored.persist()
     try:
         # ONE job materializes the persisted input AND prefetches the

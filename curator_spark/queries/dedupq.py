@@ -468,6 +468,16 @@ def min_label_propagate(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exhausted without an observed fixpoint: labels would be
+        # silently WRONG (min has traveled only 2*max_rounds hops).
+        # Fail loudly — a component diameter this large means the
+        # caller should be on the log-round star driver instead.
+        raise RuntimeError(
+            f"min_label_propagate did not converge within {max_rounds} "
+            "cycles (component diameter > "
+            f"{2 * max_rounds}); use star_contract_components"
+        )
     return labels
 
 
@@ -500,6 +510,26 @@ def _small_star(e: DataFrame) -> DataFrame:
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .unionAll(mn.select("u", F.col("m").alias("v")))
         .distinct()
+    )
+
+
+def _propagate_exact(e: DataFrame) -> DataFrame:
+    """Finish CC on a (u, v) edge set with min-label propagation,
+    sized so it CANNOT truncate: diameter <= vertex count, each cycle
+    covers two hops, so ceil(|V|/2)+1 cycles always reach the fixpoint
+    (min_label_propagate raises rather than return wrong labels). Only
+    the star driver's rare fallbacks call this — the vertex count() is
+    one small action on the already-contracted set."""
+    n_verts = (
+        e.select(F.col("u").alias("x"))
+        .unionAll(e.select(F.col("v").alias("x")))
+        .distinct()
+        .count()
+    )
+    sym = e.select(F.col("u").alias("s"), F.col("v").alias("d"))
+    return min_label_propagate(
+        sym.unionAll(sym.select(F.col("d").alias("s"), F.col("s").alias("d"))),
+        max_rounds=max(30, n_verts // 2 + 2),
     )
 
 
@@ -558,10 +588,7 @@ def star_contract_components(edges: DataFrame, max_rounds: int = 25) -> DataFram
         # only reachable with an absurdly small cap): the edge set
         # still spans the same components, so the propagation driver
         # finishes the job correctly on the contracted graph.
-        sym = e.select(F.col("u").alias("s"), F.col("v").alias("d"))
-        return min_label_propagate(
-            sym.unionAll(sym.select(F.col("d").alias("s"), F.col("s").alias("d")))
-        )
+        return _propagate_exact(e)
     if e.isEmpty():
         return edges.sparkSession.createDataFrame([], out_schema)
     # star guard: at a true fixpoint no vertex is both a pointer and a
@@ -576,10 +603,7 @@ def star_contract_components(edges: DataFrame, max_rounds: int = 25) -> DataFram
         .count()
     )
     if non_star:
-        sym = e.select(F.col("u").alias("s"), F.col("v").alias("d"))
-        return min_label_propagate(
-            sym.unionAll(sym.select(F.col("d").alias("s"), F.col("s").alias("d")))
-        )
+        return _propagate_exact(e)
     pointers = e.select(F.col("u").alias("doc_id"), F.col("v").alias("label"))
     roots = (
         e.select(F.col("v").alias("doc_id")).distinct()
@@ -588,14 +612,17 @@ def star_contract_components(edges: DataFrame, max_rounds: int = 25) -> DataFram
     return pointers.unionByName(roots).distinct()
 
 
-def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _clusters_query(spark: SparkSession, sf_dir: str, cc_driver) -> DataFrame:
+    """Shared scaffolding for the cluster queries: LSH pairs ->
+    symmetric edges -> `cc_driver` fixpoint -> one left join attaching
+    the (vast) isolated majority as singleton clusters. Both drivers
+    compute the same (doc_id, component-min) contract, so both queries
+    share one DuckDB oracle."""
     pairs = q_dedup_minhash_lsh(spark, sf_dir)
     edges = pairs.selectExpr("doc_a AS s", "doc_b AS d").unionAll(
         pairs.selectExpr("doc_b AS s", "doc_a AS d")
     ).localCheckpoint(eager=False)
-    labels = min_label_propagate(edges)
-    # one final left join attaches the (vast) isolated majority: docs
-    # in no candidate pair are their own singleton cluster.
+    labels = cc_driver(edges)
     return (
         t(spark, sf_dir, "documents")
         .select("doc_id")
@@ -605,6 +632,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("label", "doc_id").alias("cluster_id"),
         )
     )
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _clusters_query(spark, sf_dir, min_label_propagate)
 
 
 def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -613,20 +644,7 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_dedup_clusters' DuckDB oracle verbatim. This is the driver to
     run when candidate pairs chain (versioned page runs) and the
     component diameter stops being the near-clique 2-3."""
-    pairs = q_dedup_minhash_lsh(spark, sf_dir)
-    edges = pairs.selectExpr("doc_a AS s", "doc_b AS d").unionAll(
-        pairs.selectExpr("doc_b AS s", "doc_a AS d")
-    ).localCheckpoint(eager=False)
-    labels = star_contract_components(edges)
-    return (
-        t(spark, sf_dir, "documents")
-        .select("doc_id")
-        .join(labels, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("label", "doc_id").alias("cluster_id"),
-        )
-    )
+    return _clusters_query(spark, sf_dir, star_contract_components)
 
 
 def _sql_clusters() -> str:

@@ -51,7 +51,10 @@ def test_factory_routes_local_and_rejects_unknown(tmp_path, monkeypatch):
     # with a live session (any other test created one) the jar probe
     # raises RuntimeError; with truly no session it's a ValueError —
     # either way it must not fall through to a local store
-    with pytest.raises((ValueError, RuntimeError)):
+    with pytest.raises(
+        (ValueError, RuntimeError),
+        match="not reachable|requires a SparkSession",
+    ):
         open_table("cat.db.t", fmt="iceberg")
 
 

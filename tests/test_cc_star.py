@@ -95,6 +95,31 @@ def test_fallback_cap_still_exact(spark):
     assert got[9] == got[10] == 9
 
 
+def test_fallback_exact_on_high_diameter_chain(spark):
+    # review fix: the fallback used min_label_propagate's DEFAULT
+    # 30-cycle cap, which silently truncates on a diameter > 60 chain
+    # (the min label had only traveled 60 hops). It must now size the
+    # propagation budget from the contracted graph's vertex count, so
+    # max_rounds=0 + a 90-vertex chain still yields the exact fixpoint.
+    n = 90
+    pairs = [(i, i + 1) for i in range(1, n)]
+    got = _labels(
+        star_contract_components(_edges(spark, pairs), max_rounds=0)
+    )
+    assert set(got.values()) == {1}
+    assert set(got) == set(range(1, n + 1))
+
+
+def test_propagation_raises_instead_of_truncating(spark):
+    # min_label_propagate must never return silently-wrong labels: a
+    # cap smaller than the diameter now raises instead of truncating
+    import pytest
+
+    pairs = [(i, i + 1) for i in range(1, 20)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        min_label_propagate(_edges(spark, pairs), max_rounds=2)
+
+
 def test_duplicate_and_self_edges_ignored(spark):
     # self-loops and duplicate pairs must not perturb the fixpoint
     pairs = [(5, 5), (5, 6), (6, 5), (5, 6), (6, 7)]
