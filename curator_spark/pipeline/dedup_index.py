@@ -1,0 +1,332 @@
+"""Incremental dedup-index maintenance over a `CuratedTable`.
+
+The reference rebuilds its "already completed" set by re-reading every
+response file on every run (reference:
+src/bespokelabs/curator/request_processor/base_request_processor.py:609-651)
+— an O(history) scan each time. Here the seen-set is a persistent,
+bucket-partitioned index TABLE maintained incrementally: each
+`refresh()` processes only the rows appended to the source table since
+the last indexed snapshot (`read_incremental`), so steady-state
+indexing cost is O(new data) regardless of how large history grows.
+This is the "dedup-index refresh" consumer the incremental read was
+built for (snapshot.py:read_incremental docstring).
+
+Scale design — the parts that matter at 10^12 rows:
+
+- The index stores FIXED-WIDTH keys only (md5 hex of the configured
+  key expression, 32 bytes) plus one canonical doc reference,
+  partitioned on disk by ``bucket = pmod(xxhash64(key), B)``. Raw
+  text/html never enters the index; at 10^12 docs the index is ~50 TB
+  of key material vs the corpus's ~100 TB of pages, and each bucket
+  dir is independently compactable.
+- A refresh slice is small relative to history, so **history is never
+  shuffled**: dup detection plans as index-scan → broadcast-hash-join
+  against the slice's distinct keys (the slice side broadcasts; the
+  index streams through un-exchanged, exactly the decontaminate plan
+  shape in queries/trainprepq.py). Above ``broadcast_cap`` distinct
+  slice keys — the initial build, or a backfill — the route flips to
+  a shuffle anti-join on ``key``. The route picks from the slice-side
+  count, which refresh already pays (the slice IS the new data being
+  indexed; counting the small side is O(new), never O(history)).
+- Watermark = ``indexed_through`` (a source snapshot id) carried in
+  the index commit's meta. The new keys and the watermark land in ONE
+  atomic snapshot commit, so a refresh killed mid-run either fully
+  happened or not at all — the next refresh re-reads the same source
+  window (idempotent: re-deriving the same keys anti-joins to empty).
+- A delete/overwrite snapshot in the source window makes append-only
+  indexing unsound (`read_incremental` raises, per the Iceberg
+  IncrementalAppendScan contract); `rebuild()` re-derives the index
+  from the current source snapshot as one ``overwrite`` commit and
+  resets the watermark.
+
+Config pinning: ``n_buckets`` and the key expression are recorded in
+the first index commit's meta and re-loaded on every later refresh —
+silently re-keying or re-bucketing an existing index would corrupt
+membership answers, so a conflicting constructor arg raises.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from curator_spark.pipeline.catalog import CuratedTable, open_table
+
+INDEX_COLS = ("key", "bucket", "doc_ref")
+
+
+class DedupIndex:
+    """Persistent exact-dup index over a source `CuratedTable`.
+
+    Parameters
+    ----------
+    index : CuratedTable | str
+        The index's own table (or a root/identifier routed through
+        `open_table`, so the index itself can live in Iceberg on a
+        real cluster).
+    key_expr : str
+        SQL expression over source rows whose md5 is the dedup key.
+        Default ``"url"`` (exact-url dedup); use e.g.
+        ``"lower(regexp_replace(text, '\\\\s+', ' '))"`` for
+        normalized-text dedup.
+    id_col : str
+        Column naming the canonical document a key maps to.
+    n_buckets : int
+        On-disk partition count for the index (pmod(xxhash64(key), B)).
+    broadcast_cap : int
+        Max distinct slice keys that still take the broadcast route.
+    """
+
+    def __init__(
+        self,
+        index: CuratedTable | str,
+        key_expr: str = "url",
+        id_col: str = "url",
+        n_buckets: int = 64,
+        broadcast_cap: int = 2_000_000,
+        spark: SparkSession | None = None,
+    ):
+        self.table = (
+            open_table(index, spark) if isinstance(index, str) else index
+        )
+        self.key_expr = key_expr
+        self.id_col = id_col
+        self.n_buckets = int(n_buckets)
+        self.broadcast_cap = int(broadcast_cap)
+        self._load_pinned_config()
+
+    # -- config pinning -------------------------------------------------------
+
+    def _load_pinned_config(self) -> None:
+        for c in self.table.active_commits():
+            meta = c.get("meta", {})
+            if "index_n_buckets" not in meta:
+                continue
+            pinned_b = int(meta["index_n_buckets"])
+            pinned_k = meta.get("index_key_expr")
+            if pinned_k is not None and pinned_k != self.key_expr:
+                raise ValueError(
+                    f"index at {getattr(self.table, 'root', self.table)} was "
+                    f"built with key_expr={pinned_k!r}; re-keying to "
+                    f"{self.key_expr!r} requires rebuild()"
+                )
+            if pinned_b != self.n_buckets:
+                raise ValueError(
+                    f"index was built with n_buckets={pinned_b}; "
+                    f"got {self.n_buckets} — re-bucketing requires rebuild()"
+                )
+            return
+
+    def _meta(self, **extra: Any) -> dict[str, Any]:
+        return {
+            "index_n_buckets": self.n_buckets,
+            "index_key_expr": self.key_expr,
+            "index_id_col": self.id_col,
+            **extra,
+        }
+
+    # -- key derivation -------------------------------------------------------
+
+    def _key_col(self):
+        return F.md5(F.expr(self.key_expr).cast("string"))
+
+    def _bucket_col(self):
+        return F.pmod(F.xxhash64(F.col("key")), F.lit(self.n_buckets)).cast(
+            "int"
+        )
+
+    def keys_of(self, df: DataFrame) -> DataFrame:
+        """Distinct (key, bucket, doc_ref) rows for a source slice.
+
+        One hash-keyed groupBy with map-side combine; ``min(id)`` makes
+        the canonical reference deterministic under retries.
+        """
+        return (
+            df.select(
+                self._key_col().alias("key"),
+                F.col(self.id_col).cast("string").alias("doc_ref"),
+            )
+            .where(F.col("key").isNotNull())
+            .groupBy("key")
+            .agg(F.min("doc_ref").alias("doc_ref"))
+            .withColumn("bucket", self._bucket_col())
+            .select(*INDEX_COLS)
+        )
+
+    # -- state ----------------------------------------------------------------
+
+    @property
+    def indexed_through(self) -> int:
+        """Highest source snapshot id the ACTIVE index covers (0 = empty)."""
+        wm = 0
+        for c in self.table.active_commits():
+            wm = max(wm, int(c.get("meta", {}).get("indexed_through", 0)))
+        return wm
+
+    def read_keys(self, spark: SparkSession) -> DataFrame | None:
+        return self.table.read(spark)
+
+    # -- dup detection plans --------------------------------------------------
+
+    def _dup_keys(
+        self, spark: SparkSession, slice_keys: DataFrame, n_slice: int
+    ) -> DataFrame | None:
+        """Keys of `slice_keys` already present in the index.
+
+        Broadcast route (slice ≤ broadcast_cap): the index scans ONCE
+        through a BroadcastHashJoin(leftsemi) with the slice keys as
+        the build side — zero exchanges of history, result bounded by
+        the slice. Shuffle route: plain semi-join on key (both sides
+        exchange; only taken for build-sized slices where the
+        "broadcast the small side" premise fails).
+        """
+        existing = self.read_keys(spark)
+        if existing is None:
+            return None
+        if n_slice <= self.broadcast_cap:
+            return existing.join(
+                F.broadcast(slice_keys.select("key")), "key", "leftsemi"
+            ).select("key", "doc_ref")
+        return existing.join(
+            slice_keys.select("key"), "key", "leftsemi"
+        ).select("key", "doc_ref")
+
+    # -- public operations ----------------------------------------------------
+
+    def refresh(self, spark: SparkSession, source: CuratedTable) -> dict:
+        """Index every row appended to `source` since the last refresh.
+
+        O(new data): reads only the incremental append slice, never
+        re-scans source history; the index itself is scanned once
+        (broadcast route) and never shuffled. Raises ValueError if the
+        window crosses a delete/overwrite snapshot — call `rebuild()`.
+        """
+        since = self.indexed_through
+        as_of = source.current_snapshot_id()
+        if as_of <= since:
+            return {
+                "status": "up_to_date",
+                "since": since,
+                "as_of": as_of,
+                "slice_keys": 0,
+                "new_keys": 0,
+                "dup_of_history": 0,
+            }
+        inc = source.read_incremental(spark, since, as_of)
+        if inc is None:
+            # Window contains only replace snapshots (compaction):
+            # logical data unchanged — advance the watermark with an
+            # empty atomic commit so later refreshes skip the window.
+            empty = spark.createDataFrame([], "key string, bucket int, doc_ref string")
+            self.table.append(
+                empty, self._meta(indexed_through=as_of, new_keys=0)
+            )
+            return {
+                "status": "advanced",
+                "since": since,
+                "as_of": as_of,
+                "slice_keys": 0,
+                "new_keys": 0,
+                "dup_of_history": 0,
+            }
+        slice_keys = self.keys_of(inc)
+        slice_keys.persist()
+        try:
+            n_slice = slice_keys.count()
+            dup = self._dup_keys(spark, slice_keys, n_slice)
+            if dup is None:
+                new_keys, n_dup = slice_keys, 0
+            else:
+                dup_only = dup.select("key")
+                # dup is bounded by the slice, so the join-back always
+                # broadcasts regardless of which route produced it.
+                new_keys = slice_keys.join(
+                    F.broadcast(dup_only), "key", "left_anti"
+                )
+                n_dup = dup_only.count()
+            n_new = new_keys.count()
+            self.table.append(
+                new_keys.repartition("bucket"),
+                self._meta(
+                    indexed_through=as_of,
+                    since=since,
+                    new_keys=n_new,
+                    dup_of_history=n_dup,
+                ),
+                partition_by=["bucket"],
+            )
+        finally:
+            slice_keys.unpersist()
+        return {
+            "status": "refreshed",
+            "since": since,
+            "as_of": as_of,
+            "slice_keys": n_slice,
+            "new_keys": n_new,
+            "dup_of_history": n_dup,
+        }
+
+    def rebuild(self, spark: SparkSession, source: CuratedTable) -> dict:
+        """Re-derive the whole index from the CURRENT source snapshot
+        as one atomic ``overwrite`` commit (the recovery path after a
+        source delete/overwrite broke append-only indexing, or after a
+        key_expr/n_buckets change)."""
+        as_of = source.current_snapshot_id()
+        full = source.read(spark)
+        path = self.table.stage_dir()
+        if full is None:
+            keys = spark.createDataFrame(
+                [], "key string, bucket int, doc_ref string"
+            )
+        else:
+            keys = self.keys_of(full)
+        keys.repartition("bucket").write.mode("overwrite").partitionBy(
+            "bucket"
+        ).parquet(path)
+        replaced = [
+            int(c["snapshot_id"]) for c in self.table.active_commits()
+        ]
+        self.table.commit(
+            path,
+            self._meta(indexed_through=as_of, rebuilt=True),
+            replaces=replaced or None,
+            op="overwrite",
+        )
+        n = (
+            spark.read.parquet(path).count()
+            if full is not None
+            else 0
+        )
+        return {"status": "rebuilt", "as_of": as_of, "index_keys": n}
+
+    def mark_history_dups(
+        self, spark: SparkSession, df: DataFrame
+    ) -> DataFrame:
+        """Tag an incoming batch with ``dup_of_history`` (boolean) and
+        ``dup_canonical`` (the historical doc it duplicates, else
+        NULL), WITHOUT mutating the index.
+
+        Plan: batch keys broadcast into one index scan (history never
+        shuffles); the bounded dup set broadcasts back onto the batch.
+        Use before `refresh()` to route known-dup rows away from
+        expensive scoring stages.
+        """
+        with_key = df.withColumn("key", self._key_col())
+        batch_keys = with_key.select("key").where(
+            F.col("key").isNotNull()
+        ).distinct()
+        n_batch = batch_keys.count()
+        dup = self._dup_keys(spark, batch_keys, n_batch)
+        if dup is None:
+            return with_key.withColumn(
+                "dup_of_history", F.lit(False)
+            ).withColumn("dup_canonical", F.lit(None).cast("string"))
+        dup = dup.withColumnRenamed("doc_ref", "dup_canonical")
+        return (
+            with_key.join(F.broadcast(dup), "key", "left")
+            .withColumn(
+                "dup_of_history", F.col("dup_canonical").isNotNull()
+            )
+        )

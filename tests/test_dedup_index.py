@@ -1,0 +1,171 @@
+"""Incremental dedup-index maintenance (`pipeline/dedup_index.py`):
+the `read_incremental` consumer COVERAGE names — a persistent seen-set
+table refreshed from append slices so new snapshots dedup against
+history without re-scanning it (the reference re-reads every response
+file per run, base_request_processor.py:609-651; this is the O(new)
+restatement).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from curator_spark.pipeline.dedup_index import DedupIndex
+from curator_spark.pipeline.snapshot import SnapshotTable
+
+
+def _docs(spark, lo: int, hi: int, dup_of: list[int] | None = None):
+    """Rows url_i/text_i for i in [lo,hi); plus redirect rows whose
+    TEXT duplicates doc j (distinct url, same text) for j in dup_of."""
+    base = spark.range(lo, hi).select(
+        F.concat(F.lit("https://ex.com/p"), F.col("id")).alias("url"),
+        F.concat(F.lit("body of page "), F.col("id")).alias("text"),
+    )
+    if dup_of:
+        mirrors = spark.createDataFrame(
+            [(f"https://mirror.net/m{j}", f"body of page {j}") for j in dup_of],
+            "url string, text string",
+        )
+        base = base.unionByName(mirrors)
+    return base
+
+
+@pytest.fixture()
+def tables(spark, tmp_path):
+    src = SnapshotTable(str(tmp_path / "src"))
+    idx = DedupIndex(str(tmp_path / "idx"), key_expr="text", n_buckets=8)
+    return src, idx
+
+
+def test_refresh_indexes_only_the_append_slice(spark, tables):
+    src, idx = tables
+    src.append(_docs(spark, 0, 100), {"b": 1})
+    r1 = idx.refresh(spark, src)
+    assert r1["status"] == "refreshed"
+    assert r1["slice_keys"] == 100 and r1["new_keys"] == 100
+    assert idx.indexed_through == src.current_snapshot_id()
+
+    # Second batch: 30 genuinely new docs + 5 mirrors of history.
+    src.append(_docs(spark, 100, 130, dup_of=[3, 7, 11, 13, 17]), {"b": 2})
+    r2 = idx.refresh(spark, src)
+    # Only the slice was processed (35 keys, not 135).
+    assert r2["slice_keys"] == 35
+    assert r2["new_keys"] == 30
+    assert r2["dup_of_history"] == 5
+    keys = idx.read_keys(spark)
+    assert keys.count() == 130
+    # Keys are unique (5 mirror texts were NOT re-indexed).
+    assert keys.select("key").distinct().count() == 130
+
+
+def test_refresh_is_idempotent_when_up_to_date(spark, tables):
+    src, idx = tables
+    src.append(_docs(spark, 0, 20), {"b": 1})
+    idx.refresh(spark, src)
+    before = idx.table.current_snapshot_id()
+    r = idx.refresh(spark, src)
+    assert r["status"] == "up_to_date"
+    assert idx.table.current_snapshot_id() == before  # no empty commit churn
+
+
+def test_dup_within_one_slice_keeps_min_doc_ref(spark, tables):
+    src, idx = tables
+    df = spark.createDataFrame(
+        [("https://a/1", "same body"), ("https://a/0", "same body"),
+         ("https://a/2", "other body")],
+        "url string, text string",
+    )
+    src.append(df, {"b": 1})
+    r = idx.refresh(spark, src)
+    assert r["slice_keys"] == 2 and r["new_keys"] == 2
+    rows = {x["doc_ref"] for x in idx.read_keys(spark).collect()}
+    assert rows == {"https://a/0", "https://a/2"}  # deterministic min
+
+
+def test_mark_history_dups_tags_without_mutating(spark, tables):
+    src, idx = tables
+    src.append(_docs(spark, 0, 50), {"b": 1})
+    idx.refresh(spark, src)
+    sid = idx.table.current_snapshot_id()
+
+    batch = _docs(spark, 50, 55, dup_of=[1, 2])
+    marked = idx.mark_history_dups(spark, batch)
+    got = {r["url"]: (r["dup_of_history"], r["dup_canonical"])
+           for r in marked.collect()}
+    assert got["https://mirror.net/m1"] == (True, "https://ex.com/p1")
+    assert got["https://mirror.net/m2"] == (True, "https://ex.com/p2")
+    for i in range(50, 55):
+        assert got[f"https://ex.com/p{i}"] == (False, None)
+    assert idx.table.current_snapshot_id() == sid  # read-only
+
+
+def test_source_delete_breaks_append_indexing_and_rebuild_recovers(
+    spark, tables
+):
+    src, idx = tables
+    src.append(_docs(spark, 0, 40), {"b": 1})
+    idx.refresh(spark, src)
+    src.append(_docs(spark, 40, 60), {"b": 2})
+    src.delete_where(spark, condition=F.col("url") == "https://ex.com/p5")
+    with pytest.raises(ValueError, match="non-append"):
+        idx.refresh(spark, src)
+
+    r = idx.rebuild(spark, src)
+    assert r["status"] == "rebuilt"
+    assert r["index_keys"] == 59  # 60 docs minus the deleted one
+    assert idx.indexed_through == src.current_snapshot_id()
+    # Post-rebuild, incremental refresh resumes normally.
+    src.append(_docs(spark, 60, 70), {"b": 3})
+    r2 = idx.refresh(spark, src)
+    assert r2["status"] == "refreshed" and r2["new_keys"] == 10
+
+
+def test_compaction_only_window_advances_watermark(spark, tables):
+    src, idx = tables
+    src.append(_docs(spark, 0, 10), {"b": 1})
+    src.append(_docs(spark, 10, 20), {"b": 2})
+    idx.refresh(spark, src)
+    src.compact(spark)  # replace snapshot: logical data unchanged
+    r = idx.refresh(spark, src)
+    assert r["status"] == "advanced" and r["new_keys"] == 0
+    assert idx.indexed_through == src.current_snapshot_id()
+
+
+def test_index_layout_and_config_pinning(spark, tables, tmp_path):
+    src, idx = tables
+    src.append(_docs(spark, 0, 30), {"b": 1})
+    idx.refresh(spark, src)
+
+    # On-disk layout: bucket=N partition dirs (prunable, compactable).
+    data_dirs = [d for c in idx.table.active_commits()
+                 for d in [os.path.join(idx.table.root, c["data"])]]
+    parts = {p for d in data_dirs for p in os.listdir(d)
+             if p.startswith("bucket=")}
+    assert parts, "index data not partitioned by bucket"
+
+    # A conflicting n_buckets or key_expr on an existing index raises.
+    root = str(tmp_path / "idx")
+    with pytest.raises(ValueError, match="n_buckets"):
+        DedupIndex(root, key_expr="text", n_buckets=16)
+    with pytest.raises(ValueError, match="key_expr"):
+        DedupIndex(root, key_expr="url", n_buckets=8)
+    # Matching config re-opens fine and sees the watermark.
+    again = DedupIndex(root, key_expr="text", n_buckets=8)
+    assert again.indexed_through == src.current_snapshot_id()
+
+
+def test_history_never_shuffles_on_broadcast_route(spark, tables):
+    """Plan shape: the dup-detection join must broadcast the slice and
+    stream the index — no Exchange on the index side."""
+    src, idx = tables
+    src.append(_docs(spark, 0, 200), {"b": 1})
+    idx.refresh(spark, src)
+    existing = idx.read_keys(spark)
+    slice_keys = idx.keys_of(_docs(spark, 200, 210, dup_of=[0]))
+    dup = idx._dup_keys(spark, slice_keys, 11)
+    plan = dup._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert existing is not None
