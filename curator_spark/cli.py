@@ -59,6 +59,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "from this fingerprint's committed output "
                         "(partition-granularity copy-on-write; only the "
                         "urls' hash-bucket dirs are rewritten)")
+    p.add_argument("--dedup-index", default=None, metavar="DIR",
+                   help="cross-run url dedup index root (pipeline/"
+                        "dedup_index.py): urls already indexed skip "
+                        "extraction+scoring and emit keep=false/"
+                        "dup_of_history; pair with --update-dedup-index "
+                        "to register this run's urls for future crawls")
+    p.add_argument("--update-dedup-index", action="store_true",
+                   help="after the data commit, add this run's processed "
+                        "urls to --dedup-index (idempotent anti-join)")
     p.add_argument("--expire-snapshots", type=int, default=None, metavar="K",
                    help="after the run, expire replaced snapshots outside "
                         "the trailing-K time-travel window and delete data "
@@ -160,7 +169,16 @@ def main(argv: list[str] | None = None) -> int:
 
     from curator_spark.pipeline.run import FailedRowsError
 
-    pipe = QualityPipeline(args.out, cfg)
+    dedup_index = None
+    if args.dedup_index:
+        from curator_spark.pipeline.dedup_index import DedupIndex
+
+        dedup_index = DedupIndex(args.dedup_index, key_expr="url")
+    pipe = QualityPipeline(
+        args.out, cfg,
+        dedup_index=dedup_index,
+        update_dedup_index=args.update_dedup_index,
+    )
     try:
         res = pipe.run(
             spark, args.input,

@@ -231,7 +231,45 @@ class DedupIndex:
                 "new_keys": 0,
                 "dup_of_history": 0,
             }
-        slice_keys = self.keys_of(inc)
+        n_slice, n_new, n_dup = self._ingest_keys(
+            spark, self.keys_of(inc), {"indexed_through": as_of, "since": since}
+        )
+        return {
+            "status": "refreshed",
+            "since": since,
+            "as_of": as_of,
+            "slice_keys": n_slice,
+            "new_keys": n_new,
+            "dup_of_history": n_dup,
+        }
+
+    def add_keys(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        note: dict[str, Any] | None = None,
+    ) -> dict:
+        """Register a processed batch's keys WITHOUT a source watermark
+        — the path-input path (QualityPipeline runs over parquet paths,
+        which have no snapshot ids to watermark). Same anti-join plan
+        as refresh(); keys already present are not re-added, so calling
+        this twice with the same batch is a no-op."""
+        n_slice, n_new, n_dup = self._ingest_keys(
+            spark, self.keys_of(df), dict(note or {})
+        )
+        return {
+            "status": "added",
+            "slice_keys": n_slice,
+            "new_keys": n_new,
+            "dup_of_history": n_dup,
+        }
+
+    def _ingest_keys(
+        self,
+        spark: SparkSession,
+        slice_keys: DataFrame,
+        meta_extra: dict[str, Any],
+    ) -> tuple[int, int, int]:
         slice_keys.persist()
         try:
             n_slice = slice_keys.count()
@@ -250,23 +288,13 @@ class DedupIndex:
             self.table.append(
                 new_keys.repartition("bucket"),
                 self._meta(
-                    indexed_through=as_of,
-                    since=since,
-                    new_keys=n_new,
-                    dup_of_history=n_dup,
+                    **meta_extra, new_keys=n_new, dup_of_history=n_dup
                 ),
                 partition_by=["bucket"],
             )
         finally:
             slice_keys.unpersist()
-        return {
-            "status": "refreshed",
-            "since": since,
-            "as_of": as_of,
-            "slice_keys": n_slice,
-            "new_keys": n_new,
-            "dup_of_history": n_dup,
-        }
+        return n_slice, n_new, n_dup
 
     def rebuild(self, spark: SparkSession, source: CuratedTable) -> dict:
         """Re-derive the whole index from the CURRENT source snapshot

@@ -107,13 +107,39 @@ def staged_plan(
     bucket -1 (the scorers are pure and cheap on empty text, and
     their outputs are overridden below); run() relocates that
     partition to the quarantine dir before commit.
+
+    If the input carries a `dup_of_history` flag (run() with a
+    DedupIndex marks it pre-plan), flagged rows pay for NOTHING
+    downstream: their html is nulled before extraction and their
+    doc_text before scoring (the same cheap-on-empty property the
+    quarantine path relies on), and they emit as regular output rows
+    with keep=false, drop_reason='dup_of_history' in their normal
+    bucket — at 100 TB a re-crawl that is 80% previously-seen urls
+    skips 80% of extraction + model-scoring bytes while still
+    recording a per-url decision row.
     """
+    has_dup = "dup_of_history" in pages.columns
+    dup = (
+        F.coalesce(F.col("dup_of_history"), F.lit(False))
+        if has_dup
+        else F.lit(False)
+    )
     if from_html:
+        if has_dup:
+            pages = pages.withColumn(
+                "html",
+                F.when(dup, F.lit(None).cast("binary")).otherwise(F.col("html")),
+            )
         pages = with_extracted_text(pages, out="doc_text")
     else:
-        pages = pages.withColumn("doc_text", F.col("text"))
+        pages = pages.withColumn(
+            "doc_text",
+            F.when(dup, F.lit(None).cast("string")).otherwise(F.col("text")),
+        )
 
-    failed_pred = F.col("doc_text").isNull() | (F.col("doc_text") == "")
+    failed_pred = (
+        F.col("doc_text").isNull() | (F.col("doc_text") == "")
+    ) & ~dup
     pages = pages.withColumn(
         "bucket_id",
         F.when(failed_pred, F.lit(-1)).otherwise(F.col("bucket_id")),
@@ -121,13 +147,26 @@ def staged_plan(
 
     scored = quality_plan(pages, cfg, text_col="doc_text")
     is_failed = F.col("bucket_id") == -1
+    # dup must be re-derivable post-select: OUT_COLS drops the flag
+    is_dup = (
+        F.coalesce(F.col("dup_of_history"), F.lit(False))
+        if has_dup
+        else F.lit(False)
+    )
+    scored = scored.select(*OUT_COLS, *(["dup_of_history"] if has_dup else []))
     return (
-        scored.select(*OUT_COLS)
-        .withColumn("keep", F.when(is_failed, F.lit(False)).otherwise(F.col("keep")))
+        scored
+        .withColumn(
+            "keep",
+            F.when(is_failed | is_dup, F.lit(False)).otherwise(F.col("keep")),
+        )
         .withColumn(
             "drop_reason",
-            F.when(is_failed, F.lit("extract_failed")).otherwise(F.col("drop_reason")),
+            F.when(is_failed, F.lit("extract_failed"))
+            .when(is_dup, F.lit("dup_of_history"))
+            .otherwise(F.col("drop_reason")),
         )
+        .select(*OUT_COLS)
         .repartition("bucket_id")
     )
 
@@ -156,12 +195,23 @@ class QualityPipeline:
         out_root: str,
         cfg: QualityConfig | None = None,
         table: CuratedTable | None = None,
+        dedup_index=None,
+        update_dedup_index: bool = False,
     ):
         self.cfg = cfg or QualityConfig()
         # catalog seam: env/conf-driven format (local manifest store in
         # this sandbox; a real Iceberg/Delta catalog on a cluster), or
         # an injected CuratedTable for tests/embedding
         self.table = table if table is not None else open_table(out_root)
+        # Optional cross-run dedup: a pipeline/dedup_index.DedupIndex
+        # (keyed on a column present in BOTH input and output, i.e.
+        # url). When set, previously-indexed urls skip extraction and
+        # scoring entirely and emit keep=false/dup_of_history; with
+        # update_dedup_index the run's urls are registered after the
+        # data commit (a crash between the two re-scores at most one
+        # run's urls on the next crawl — work lost, never data).
+        self.dedup_index = dedup_index
+        self.update_dedup_index = update_dedup_index
 
     # -- resume bookkeeping (from manifest meta, no data read) -------------
     def committed_buckets(self, fp: str) -> set[int]:
@@ -305,6 +355,15 @@ class QualityPipeline:
         pages = with_bucket(pages, cfg.n_buckets)
         if len(todo) < cfg.n_buckets:
             pages = pages.filter(F.col("bucket_id").isin(todo))
+        if self.dedup_index is not None:
+            # One url-only pruned pass over the slice marks history
+            # dups (index scanned once, never shuffled); the flag is
+            # consumed by staged_plan. NOTE: the dedup consult is not
+            # part of the run fingerprint — committed buckets are never
+            # reprocessed even if the index grew since.
+            pages = self.dedup_index.mark_history_dups(spark, pages).drop(
+                "key", "dup_canonical"
+            )
 
         out = staged_plan(pages, cfg, from_html=from_html)
 
@@ -389,6 +448,16 @@ class QualityPipeline:
             # path's schema discovery) and drop the empty stage dir
             sid = self.table.commit_parts([], meta)
             shutil.rmtree(stage_dir, ignore_errors=True)
+
+        if self.dedup_index is not None and self.update_dedup_index:
+            # Register AFTER the data commit so the index never claims
+            # urls whose output rows did not land. add_keys anti-joins
+            # against the index, so dup rows cost nothing to re-offer.
+            self.dedup_index.add_keys(
+                spark,
+                written.select("url"),
+                note={"run_fingerprint": fp, "output_snapshot_id": sid},
+            )
 
         docs_seen = sum(b["docs_seen"] for b in buckets_meta.values())
         docs_kept = sum(b["docs_kept"] for b in buckets_meta.values())
