@@ -217,11 +217,12 @@ class DedupIndex:
         inc = source.read_incremental(spark, since, as_of)
         if inc is None:
             # Window contains only replace snapshots (compaction):
-            # logical data unchanged — advance the watermark with an
-            # empty atomic commit so later refreshes skip the window.
-            empty = spark.createDataFrame([], "key string, bucket int, doc_ref string")
-            self.table.append(
-                empty, self._meta(indexed_through=as_of, new_keys=0)
+            # logical data unchanged — advance the watermark with a
+            # ZERO-PART atomic commit (a parquet dir holding only
+            # _SUCCESS would crash the read path's schema discovery,
+            # the same pitfall run.py's all-quarantined branch avoids).
+            self.table.commit_parts(
+                [], self._meta(indexed_through=as_of, new_keys=0)
             )
             return {
                 "status": "advanced",
@@ -285,13 +286,20 @@ class DedupIndex:
                 )
                 n_dup = dup_only.count()
             n_new = new_keys.count()
-            self.table.append(
-                new_keys.repartition("bucket"),
-                self._meta(
-                    **meta_extra, new_keys=n_new, dup_of_history=n_dup
-                ),
-                partition_by=["bucket"],
+            meta = self._meta(
+                **meta_extra, new_keys=n_new, dup_of_history=n_dup
             )
+            if n_new:
+                self.table.append(
+                    new_keys.repartition("bucket"),
+                    meta,
+                    partition_by=["bucket"],
+                )
+            else:
+                # all-dup slice: watermark/bookkeeping only — a data
+                # dir with zero row files breaks schema discovery on
+                # read, so commit zero parts instead.
+                self.table.commit_parts([], meta)
         finally:
             slice_keys.unpersist()
         return n_slice, n_new, n_dup
@@ -342,15 +350,22 @@ class DedupIndex:
         expensive scoring stages.
         """
         with_key = df.withColumn("key", self._key_col())
+        no_dups = with_key.withColumn(
+            "dup_of_history", F.lit(False)
+        ).withColumn("dup_canonical", F.lit(None).cast("string"))
+        # Empty-index short-circuit BEFORE the batch-key count: the
+        # first crawl against a fresh index must not pay a full
+        # key-column scan just to learn there is no history (manifest
+        # metadata answers that).
+        if self.read_keys(spark) is None:
+            return no_dups
         batch_keys = with_key.select("key").where(
             F.col("key").isNotNull()
         ).distinct()
         n_batch = batch_keys.count()
         dup = self._dup_keys(spark, batch_keys, n_batch)
         if dup is None:
-            return with_key.withColumn(
-                "dup_of_history", F.lit(False)
-            ).withColumn("dup_canonical", F.lit(None).cast("string"))
+            return no_dups
         dup = dup.withColumnRenamed("doc_ref", "dup_canonical")
         return (
             with_key.join(F.broadcast(dup), "key", "left")

@@ -212,6 +212,13 @@ class QualityPipeline:
         # run's urls on the next crawl — work lost, never data).
         self.dedup_index = dedup_index
         self.update_dedup_index = update_dedup_index
+        if dedup_index is not None and dedup_index.id_col != "url":
+            raise ValueError(
+                "pipeline dedup index must be url-keyed (id_col='url', "
+                "key_expr over url): registration runs over the OUTPUT "
+                f"table, whose only input-carried column is url; got "
+                f"id_col={dedup_index.id_col!r}"
+            )
 
     # -- resume bookkeeping (from manifest meta, no data read) -------------
     def committed_buckets(self, fp: str) -> set[int]:

@@ -132,6 +132,26 @@ def test_compaction_only_window_advances_watermark(spark, tables):
     r = idx.refresh(spark, src)
     assert r["status"] == "advanced" and r["new_keys"] == 0
     assert idx.indexed_through == src.current_snapshot_id()
+    # The watermark-only commit is zero-part: the index must stay
+    # readable (an empty parquet dir would break schema discovery).
+    assert idx.read_keys(spark).count() == 20
+
+
+def test_all_dup_slice_commits_watermark_only(spark, tables):
+    """A slice that is 100% already-indexed (n_new=0) must advance the
+    watermark with a zero-part commit and leave the index readable."""
+    src, idx = tables
+    src.append(_docs(spark, 0, 15), {"b": 1})
+    idx.refresh(spark, src)
+    src.append(_docs(spark, 0, 15), {"b": 2})  # pure re-append
+    r = idx.refresh(spark, src)
+    assert r["status"] == "refreshed"
+    assert r["new_keys"] == 0 and r["dup_of_history"] == 15
+    assert idx.indexed_through == src.current_snapshot_id()
+    assert idx.read_keys(spark).count() == 15
+    # and refresh after it resumes normally
+    src.append(_docs(spark, 15, 18), {"b": 3})
+    assert idx.refresh(spark, src)["new_keys"] == 3
 
 
 def test_index_layout_and_config_pinning(spark, tables, tmp_path):
