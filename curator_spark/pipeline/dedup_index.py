@@ -168,6 +168,17 @@ class DedupIndex:
     def read_keys(self, spark: SparkSession) -> DataFrame | None:
         return self.table.read(spark)
 
+    def has_keys(self) -> bool:
+        """True iff any active commit registered keys — answered from
+        commit META alone (zero Spark jobs, portable across catalog
+        adapters), so callers can skip building a marking plan against
+        an empty index entirely."""
+        for c in self.table.active_commits():
+            m = c.get("meta", {})
+            if m.get("new_keys", 0) or m.get("index_keys", 0):
+                return True
+        return False
+
     # -- dup detection plans --------------------------------------------------
 
     def _dup_keys(
@@ -311,30 +322,32 @@ class DedupIndex:
         key_expr/n_buckets change)."""
         as_of = source.current_snapshot_id()
         full = source.read(spark)
-        path = self.table.stage_dir()
-        if full is None:
-            keys = spark.createDataFrame(
-                [], "key string, bucket int, doc_ref string"
-            )
-        else:
-            keys = self.keys_of(full)
-        keys.repartition("bucket").write.mode("overwrite").partitionBy(
-            "bucket"
-        ).parquet(path)
         replaced = [
             int(c["snapshot_id"]) for c in self.table.active_commits()
         ]
-        self.table.commit(
-            path,
-            self._meta(indexed_through=as_of, rebuilt=True),
-            replaces=replaced or None,
-            op="overwrite",
-        )
-        n = (
-            spark.read.parquet(path).count()
-            if full is not None
-            else 0
-        )
+        n = 0
+        path = None
+        if full is not None:
+            path = self.table.stage_dir()
+            self.keys_of(full).repartition("bucket").write.mode(
+                "overwrite"
+            ).partitionBy("bucket").parquet(path)
+            # explicit schema: a zero-key source (e.g. all-NULL keys)
+            # stages a dir with only _SUCCESS, where inference raises
+            n = spark.read.schema(
+                "key string, bucket int, doc_ref string"
+            ).parquet(path).count()
+        meta = self._meta(indexed_through=as_of, rebuilt=True, index_keys=n)
+        if n:
+            self.table.commit(
+                path, meta, replaces=replaced or None, op="overwrite"
+            )
+        else:
+            # empty source: zero-part overwrite (an empty parquet dir
+            # would break schema discovery on later reads)
+            self.table.commit_parts(
+                [], meta, replaces=replaced or None, op="overwrite"
+            )
         return {"status": "rebuilt", "as_of": as_of, "index_keys": n}
 
     def mark_history_dups(

@@ -39,7 +39,7 @@ from curator_spark.config import QualityConfig
 from curator_spark.pipeline.fingerprint import run_fingerprint
 from curator_spark.pipeline.catalog import CuratedTable, open_table
 from curator_spark.stages.decide import with_decision
-from curator_spark.stages.extract import with_extracted_text
+from curator_spark.stages.extract import extracted_text, with_extracted_text
 from curator_spark.stages.langid import with_langid
 from curator_spark.stages.perplexity import with_perplexity
 from curator_spark.stages.rules import with_rule_flags, with_rule_stats
@@ -126,11 +126,19 @@ def staged_plan(
     )
     if from_html:
         if has_dup:
+            # conditional INSIDE the doc_text expression: codegen
+            # evaluates the extraction branch per-row only for non-dup
+            # rows — no rewritten html projection (wrapping the binary
+            # column itself in a when() copied every page's html bytes
+            # through an extra Project, +58% on a zero-dup run)
             pages = pages.withColumn(
-                "html",
-                F.when(dup, F.lit(None).cast("binary")).otherwise(F.col("html")),
+                "doc_text",
+                F.when(dup, F.lit(None).cast("string")).otherwise(
+                    extracted_text(F.col("html"))
+                ),
             )
-        pages = with_extracted_text(pages, out="doc_text")
+        else:
+            pages = with_extracted_text(pages, out="doc_text")
     else:
         pages = pages.withColumn(
             "doc_text",
@@ -362,12 +370,15 @@ class QualityPipeline:
         pages = with_bucket(pages, cfg.n_buckets)
         if len(todo) < cfg.n_buckets:
             pages = pages.filter(F.col("bucket_id").isin(todo))
-        if self.dedup_index is not None:
+        if self.dedup_index is not None and self.dedup_index.has_keys():
             # One url-only pruned pass over the slice marks history
             # dups (index scanned once, never shuffled); the flag is
-            # consumed by staged_plan. NOTE: the dedup consult is not
-            # part of the run fingerprint — committed buckets are never
-            # reprocessed even if the index grew since.
+            # consumed by staged_plan. An EMPTY index skips marking
+            # entirely (metadata check) so a first crawl plans
+            # byte-identically to an index-free run. NOTE: the dedup
+            # consult is not part of the run fingerprint — committed
+            # buckets are never reprocessed even if the index grew
+            # since.
             pages = self.dedup_index.mark_history_dups(spark, pages).drop(
                 "key", "dup_canonical"
             )

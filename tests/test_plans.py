@@ -154,6 +154,32 @@ def test_pipeline_write_plan_one_scan_one_shuffle(spark, pages_path, cfg):
     assert len(exchanges) == 1, plan
 
 
+def test_dedup_flagged_write_plan_keeps_shape(spark, pages_path, cfg):
+    """With a dup_of_history flag present (DedupIndex-marked re-crawl)
+    the write plan must STAY one scan + one shuffle, and extraction
+    must live inside the doc_text conditional — no second Project
+    materializing the html binary (the naive when() over the html
+    column copied every page's bytes through an extra projection)."""
+    from pyspark.sql import functions as F
+
+    from curator_spark.pipeline.run import staged_plan, with_bucket
+
+    import re
+
+    pages = with_bucket(spark.read.parquet(pages_path), 32).withColumn(
+        "dup_of_history", F.pmod(F.xxhash64("url"), F.lit(4)) == 0
+    )
+    out = staged_plan(pages, cfg, from_html=True)
+    plan = _formatted(out)
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
+    exchanges = re.findall(r"^\(\d+\) Exchange", plan, re.M)
+    assert len(scans) == 1, plan
+    assert len(exchanges) == 1, plan
+    # html appears only at the scan and inside the single conditional
+    # extraction expression — never as a rewritten output column
+    assert not re.search(r"CASE WHEN .* END AS html", plan), plan
+
+
 def test_snapshot_read_prunes_bucket_partitions(spark, pages_path, cfg, tmp_path):
     """The committed output is partitioned by bucket_id, so a reader
     filtering one bucket must hit partition pruning (PartitionFilters
