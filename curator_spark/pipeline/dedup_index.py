@@ -43,6 +43,16 @@ Config pinning: ``n_buckets`` and the key expression are recorded in
 the first index commit's meta and re-loaded on every later refresh —
 silently re-keying or re-bucketing an existing index would corrupt
 membership answers, so a conflicting constructor arg raises.
+
+Concurrency: commits go through the manifest store's create-exclusive
+claim, so concurrent refreshes both LAND (no lost update), but two
+refreshes of the same window may register overlapping key sets — the
+index then holds duplicate key rows. That degrades to redundant
+storage only: `mark_history_dups` aggregates the dup set to one row
+per key before joining back (row inflation impossible), `refresh`'s
+anti-join treats any copy as "seen", and `rebuild()` restores a
+unique-key index. Run refreshes single-writer per index (as Iceberg
+recommends for MERGE writers) to avoid the wasted bytes.
 """
 
 from __future__ import annotations
@@ -379,7 +389,11 @@ class DedupIndex:
         dup = self._dup_keys(spark, batch_keys, n_batch)
         if dup is None:
             return no_dups
-        dup = dup.withColumnRenamed("doc_ref", "dup_canonical")
+        # one row per key before the join-back: duplicate index keys
+        # (e.g. two concurrent refreshes that both won their manifest
+        # race and registered overlapping slices) must degrade to a
+        # redundant-storage problem, never row inflation of the batch
+        dup = dup.groupBy("key").agg(F.min("doc_ref").alias("dup_canonical"))
         return (
             with_key.join(F.broadcast(dup), "key", "left")
             .withColumn(

@@ -177,6 +177,33 @@ def test_index_layout_and_config_pinning(spark, tables, tmp_path):
     assert again.indexed_through == src.current_snapshot_id()
 
 
+def test_duplicate_index_keys_never_inflate_marked_batches(spark, tables):
+    """If concurrent refreshes ever register overlapping key sets, the
+    index holds duplicate key rows — marking must stay one-row-per-
+    batch-row (redundant storage, never row inflation)."""
+    src, idx = tables
+    src.append(_docs(spark, 0, 10), {"b": 1})
+    idx.refresh(spark, src)
+    # simulate the race: append the same key set again, bypassing the
+    # anti-join (as a second concurrent refresh would have)
+    dup_keys = idx.keys_of(_docs(spark, 0, 10))
+    idx.table.append(dup_keys.repartition("bucket"),
+                     idx._meta(new_keys=10), partition_by=["bucket"])
+    assert idx.read_keys(spark).count() == 20  # corrupted: 10 keys twice
+
+    batch = _docs(spark, 8, 12)  # 2 dup-of-history + 2 fresh
+    marked = idx.mark_history_dups(spark, batch)
+    assert marked.count() == 4  # NOT 6
+    got = {r["url"]: r["dup_of_history"] for r in marked.collect()}
+    assert got == {
+        "https://ex.com/p8": True, "https://ex.com/p9": True,
+        "https://ex.com/p10": False, "https://ex.com/p11": False,
+    }
+    # refresh against the corrupted index also stays sane: no re-add
+    r = idx.refresh(spark, src)  # up-to-date window
+    assert r["new_keys"] == 0
+
+
 def test_history_never_shuffles_on_broadcast_route(spark, tables):
     """Plan shape: the dup-detection join must broadcast the slice and
     stream the index — no Exchange on the index side."""
