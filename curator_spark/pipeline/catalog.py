@@ -155,7 +155,20 @@ class IcebergTable(CuratedTable):
         )
 
     def commit(self, data_path, meta, replaces=None, op="append") -> int:
+        """op='overwrite' must REPLACE table contents (DedupIndex.
+        rebuild's contract: stale keys may not survive). Dynamic
+        partition overwrite would keep partitions absent from the new
+        data, so it is an explicit DELETE FROM + append — two
+        snapshots, preserving the table's partition spec; a reader in
+        the brief empty window sees "no history", which for every
+        consumer here (dedup marking, decontamination) means redo
+        work, never lose data. The local store expresses replacement
+        through `replaces` manifest edges instead — here Iceberg's own
+        snapshot lineage records it, so `replaces` is intentionally
+        unused."""
         df = self.spark.read.parquet(data_path)
+        if op == "overwrite":
+            self.spark.sql(f"DELETE FROM {self.identifier}")
         (df.writeTo(self.identifier)
            .option(f"snapshot-property.{self.META_PROP}", json.dumps(meta))
            .option("snapshot-property.curator-op", op)
@@ -171,6 +184,10 @@ class IcebergTable(CuratedTable):
         and procedures), so here the parts are materialized through a
         plain read+append."""
         if not parts:
+            if op == "overwrite":
+                # zero-part overwrite (e.g. DedupIndex.rebuild of an
+                # emptied source): the replacement IS emptiness
+                self.spark.sql(f"DELETE FROM {self.identifier}")
             (self.spark.table(self.identifier).limit(0)
                  .writeTo(self.identifier)
                  .option(f"snapshot-property.{self.META_PROP}",
