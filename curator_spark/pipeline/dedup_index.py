@@ -16,9 +16,8 @@ Scale design — the parts that matter at 10^12 rows:
 - The index stores FIXED-WIDTH keys only (md5 hex of the configured
   key expression, 32 bytes) plus one canonical doc reference,
   partitioned on disk by ``bucket = pmod(xxhash64(key), B)``. Raw
-  text/html never enters the index; at 10^12 docs the index is ~50 TB
-  of key material vs the corpus's ~100 TB of pages, and each bucket
-  dir is independently compactable.
+  text/html never enters the index: ~100 bytes/doc of key material vs
+  multi-KB pages, and each bucket dir is independently compactable.
 - A refresh slice is small relative to history, so **history is never
   shuffled**: dup detection plans as index-scan → broadcast-hash-join
   against the slice's distinct keys (the slice side broadcasts; the
@@ -169,10 +168,16 @@ class DedupIndex:
 
     @property
     def indexed_through(self) -> int:
-        """Highest source snapshot id the ACTIVE index covers (0 = empty)."""
+        """Source snapshot id of the LATEST watermark-carrying active
+        commit (0 = never refreshed). Latest-in-commit-order, not
+        max(): Iceberg snapshot ids are random 64-bit values, so
+        numeric max over them is meaningless; `active_commits` is
+        chronological for both stores."""
         wm = 0
         for c in self.table.active_commits():
-            wm = max(wm, int(c.get("meta", {}).get("indexed_through", 0)))
+            v = c.get("meta", {}).get("indexed_through")
+            if v is not None:
+                wm = int(v)
         return wm
 
     def read_keys(self, spark: SparkSession) -> DataFrame | None:
@@ -226,7 +231,10 @@ class DedupIndex:
         """
         since = self.indexed_through
         as_of = source.current_snapshot_id()
-        if as_of <= since:
+        # equality, not <=: snapshot ids need not be monotonic
+        # (Iceberg's are random 64-bit); a stale/foreign watermark
+        # falls through to read_incremental, which validates windows
+        if as_of == since:
             return {
                 "status": "up_to_date",
                 "since": since,
@@ -378,9 +386,10 @@ class DedupIndex:
         ).withColumn("dup_canonical", F.lit(None).cast("string"))
         # Empty-index short-circuit BEFORE the batch-key count: the
         # first crawl against a fresh index must not pay a full
-        # key-column scan just to learn there is no history (manifest
-        # metadata answers that).
-        if self.read_keys(spark) is None:
+        # key-column scan just to learn there is no history. has_keys
+        # answers from commit meta alone — portable to catalogs whose
+        # read() returns an empty DataFrame rather than None.
+        if not self.has_keys():
             return no_dups
         batch_keys = with_key.select("key").where(
             F.col("key").isNotNull()
