@@ -204,6 +204,84 @@ def test_duplicate_index_keys_never_inflate_marked_batches(spark, tables):
     assert r["new_keys"] == 0
 
 
+def test_randomized_op_sequence_matches_model(spark, tmp_path):
+    """Model-based check: a seeded random interleaving of source
+    appends (new + repeated texts), refreshes, source compactions, and
+    read-only marks must keep the index equal to a pure-Python model
+    (key set, uniqueness, watermark, membership answers)."""
+    import hashlib
+    import random
+
+    rng = random.Random(20260820)
+    src = SnapshotTable(str(tmp_path / "src"))
+    idx = DedupIndex(str(tmp_path / "idx"), key_expr="text", n_buckets=4)
+
+    def key(t: str) -> str:
+        return hashlib.md5(t.encode()).hexdigest()
+
+    all_texts: list[str] = []     # every text ever appended (source rows)
+    indexed: set[str] = set()     # model: keys the index must hold
+    next_id = 0
+
+    def append_batch():
+        nonlocal next_id
+        rows = []
+        for _ in range(rng.randint(1, 8)):
+            if all_texts and rng.random() < 0.4:
+                t = rng.choice(all_texts)      # repeat an old text
+            else:
+                t = f"text number {next_id}"
+            rows.append((f"u{next_id}", t))
+            all_texts.append(t)
+            next_id += 1
+        src.append(
+            spark.createDataFrame(rows, "url string, text string"),
+            {"n": len(rows)},
+        )
+
+    append_batch()
+    for step in range(14):
+        op = rng.choice(["append", "refresh", "compact", "mark", "reopen"])
+        if op == "append":
+            append_batch()
+        elif op == "refresh":
+            before = set(indexed)
+            r = idx.refresh(spark, src)
+            # model: refresh indexes every text appended so far
+            indexed.update(key(t) for t in all_texts)
+            assert r["new_keys"] == len(indexed) - len(before)
+            assert idx.indexed_through == src.current_snapshot_id()
+        elif op == "compact":
+            src.compact(spark)
+        elif op == "reopen":
+            idx = DedupIndex(str(tmp_path / "idx"),
+                             key_expr="text", n_buckets=4)
+        else:  # mark a probe batch: half seen-by-model, half novel
+            probe = [(f"p{step}-{i}", rng.choice(all_texts))
+                     for i in range(2)] + [
+                    (f"p{step}-new{i}", f"novel {step}-{i}")
+                    for i in range(2)]
+            marked = idx.mark_history_dups(
+                spark,
+                spark.createDataFrame(probe, "url string, text string"),
+            )
+            got = {r["url"]: r["dup_of_history"] for r in marked.collect()}
+            for u, t in probe:
+                assert got[u] == (key(t) in indexed), (step, u, t)
+        # global invariants after every op
+        keys_df = idx.read_keys(spark)
+        got_keys = (set() if keys_df is None
+                    else {r["key"] for r in keys_df.select("key").collect()})
+        assert got_keys == indexed, f"step {step}: index != model"
+        if keys_df is not None:
+            assert keys_df.count() == len(got_keys)  # uniqueness
+
+    # final full refresh drains everything
+    idx.refresh(spark, src)
+    indexed.update(key(t) for t in all_texts)
+    assert {r["key"] for r in idx.read_keys(spark).collect()} == indexed
+
+
 def test_history_never_shuffles_on_broadcast_route(spark, tables):
     """Plan shape: the dup-detection join must broadcast the slice and
     stream the index — no Exchange on the index side."""
