@@ -138,8 +138,14 @@ class DedupIndex:
 
     # -- key derivation -------------------------------------------------------
 
-    def _key_col(self):
+    def key_col(self):
+        """The dedup-key expression (md5 of key_expr) — public so
+        other plan builders (streaming marking) derive keys
+        identically to the index."""
         return F.md5(F.expr(self.key_expr).cast("string"))
+
+    # internal alias kept for brevity
+    _key_col = key_col
 
     def _bucket_col(self):
         return F.pmod(F.xxhash64(F.col("key")), F.lit(self.n_buckets)).cast(

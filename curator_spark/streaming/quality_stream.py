@@ -45,20 +45,56 @@ def score_stream(
     input_dir: str,
     cfg: QualityConfig | None = None,
     max_files_per_trigger: int | None = None,
+    dedup_index=None,
 ) -> DataFrame:
+    """Scored stream over a pages dir. With `dedup_index` (a
+    pipeline/dedup_index.DedupIndex), urls already registered in the
+    index skip scoring per-row (doc_text nulled inside the plan) and
+    emit keep=false / drop_reason='dup_of_history' — the CROSS-RUN
+    skip: a fresh checkpoint re-draining overlapping input does not
+    re-score history. Layering: the index static side is resolved at
+    QUERY START (keys registered mid-stream are not visible to it);
+    WITHIN-run cross-batch dedup is `dedup_stream`'s keyed-state job.
+    The stream-static join broadcasts/persists the key table — right
+    while the index fits executor memory; at 10^12 keys bucket both
+    sides (index is bucket-partitioned for exactly that) or front with
+    `dedup_stream_bounded`'s Bloom state.
+    """
     cfg = cfg or QualityConfig()
     reader = spark.readStream.schema(PAGES)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     pages = reader.parquet(input_dir)
     pages = with_bucket(pages, cfg.n_buckets)
-    pages = pages.withColumn("doc_text", F.col("text"))
+    dup = F.lit(False)
+    if dedup_index is not None and dedup_index.has_keys():
+        keys = (
+            dedup_index.read_keys(spark)
+            .groupBy("key")  # dup index keys must never inflate rows
+            .agg(F.min("doc_ref").alias("dup_canonical"))
+        )
+        keys.persist()  # static side: materialize once, not per batch
+        pages = (
+            pages.withColumn("key", dedup_index.key_col())
+            .join(keys, "key", "left")  # stream-static left join
+            .withColumn("dup_of_history", F.col("dup_canonical").isNotNull())
+            .drop("key", "dup_canonical")
+        )
+        dup = F.col("dup_of_history")
+        pages = pages.withColumn(
+            "doc_text",
+            F.when(dup, F.lit(None).cast("string")).otherwise(F.col("text")),
+        )
+    else:
+        pages = pages.withColumn("doc_text", F.col("text"))
     # batch parity: staged_plan routes NULL/empty text to the sentinel
     # quarantine bucket with drop_reason='extract_failed'; without the
     # same guard here a NULL-text page would be fillna('')-scored and
     # labeled by whatever the scorers say about empty text — the
     # streaming face must emit the identical decision.
-    failed_pred = F.col("doc_text").isNull() | (F.col("doc_text") == "")
+    failed_pred = (
+        F.col("doc_text").isNull() | (F.col("doc_text") == "")
+    ) & ~dup
     pages = pages.withColumn(
         "bucket_id",
         F.when(failed_pred, F.lit(-1)).otherwise(F.col("bucket_id")),
@@ -66,10 +102,12 @@ def score_stream(
     scored = quality_plan(pages, cfg, text_col="doc_text")
     is_failed = F.col("bucket_id") == -1
     scored = scored.withColumn(
-        "keep", F.when(is_failed, F.lit(False)).otherwise(F.col("keep"))
+        "keep",
+        F.when(is_failed | dup, F.lit(False)).otherwise(F.col("keep")),
     ).withColumn(
         "drop_reason",
         F.when(is_failed, F.lit("extract_failed"))
+        .when(dup, F.lit("dup_of_history"))
         .otherwise(F.col("drop_reason")),
     )
     return scored.select("warc_ts", *OUT_COLS)
@@ -123,7 +161,8 @@ def checkpoint_lineage(checkpoint_dir: str) -> str:
     return _os.path.abspath(checkpoint_dir)
 
 
-def make_snapshot_batch_committer(table, checkpoint_dir: str):
+def make_snapshot_batch_committer(table, checkpoint_dir: str,
+                                  dedup_index=None):
     """foreachBatch body committing each micro-batch to a SnapshotTable
     exactly once.
 
@@ -173,6 +212,21 @@ def make_snapshot_batch_committer(table, checkpoint_dir: str):
             {"stream_lineage": state["lineage"], "stream_batch_id": batch_id},
         )
         state["done"].add(batch_id)
+        if dedup_index is not None:
+            # Register AFTER the data commit; add_keys anti-joins the
+            # index, so a replayed batch (guarded above) or re-offered
+            # urls cost nothing. A crash between commit and this call
+            # loses only the registration — the next crawl re-scores
+            # those urls once and registers them itself (work lost,
+            # never data; same contract as the batch pipeline).
+            dedup_index.add_keys(
+                df.sparkSession,
+                df.select("url"),
+                note={
+                    "stream_lineage": state["lineage"],
+                    "stream_batch_id": batch_id,
+                },
+            )
 
     return commit_batch
 
@@ -184,18 +238,31 @@ def run_into_snapshot(
     checkpoint_dir: str,
     cfg: QualityConfig | None = None,
     max_files_per_trigger: int | None = None,
+    dedup_index=None,
 ):
     """Drain available input into a SnapshotTable with exactly-once
     batch commits (source checkpoint handles which files are consumed;
     the idempotent manifest commit handles replayed batches). Returns
-    the SnapshotTable."""
+    the SnapshotTable.
+
+    With `dedup_index`, previously-registered urls skip scoring
+    (score_stream marking) and each committed batch's urls register
+    into the index — so a LATER drain with a fresh checkpoint over
+    overlapping input re-scores only genuinely new urls."""
     from curator_spark.pipeline.catalog import open_table
 
+    if dedup_index is not None and dedup_index.id_col != "url":
+        raise ValueError(
+            "streaming dedup index must be url-keyed (id_col='url'); "
+            f"got {dedup_index.id_col!r}"
+        )
     table = open_table(table_root, spark=spark)
-    scored = score_stream(spark, input_dir, cfg, max_files_per_trigger)
+    scored = score_stream(spark, input_dir, cfg, max_files_per_trigger,
+                          dedup_index=dedup_index)
     q = (
         scored.writeStream.foreachBatch(
-            make_snapshot_batch_committer(table, checkpoint_dir)
+            make_snapshot_batch_committer(table, checkpoint_dir,
+                                          dedup_index=dedup_index)
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

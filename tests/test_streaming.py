@@ -242,3 +242,60 @@ def test_snapshot_sink_exactly_once(spark, pages_path, tmp_path, cfg):
     make_snapshot_batch_committer(table, ckpt)(replay_df, bid)
     assert len(table.active_commits()) == n_commits
     assert table.read(spark).count() == 1200
+
+
+def test_stream_cross_run_dedup_via_index(spark, pages_path, tmp_path, cfg):
+    """Index-backed CROSS-RUN dedup: a second drain with a FRESH
+    checkpoint over overlapping input skips urls the first run
+    registered (keep=false / dup_of_history, no scoring payload) and
+    scores only the genuinely new files' urls — the capability neither
+    the source checkpoint (per-run) nor keyed state (per-stream) has."""
+    from curator_spark.pipeline.dedup_index import DedupIndex
+    from curator_spark.streaming.quality_stream import run_into_snapshot
+
+    src_files = sorted(
+        f for f in os.listdir(pages_path) if f.endswith(".parquet")
+    )
+    half = len(src_files) // 2
+    in1, in2 = str(tmp_path / "in1"), str(tmp_path / "in2")
+    os.makedirs(in1), os.makedirs(in2)
+    for f in src_files[:half]:
+        shutil.copy(os.path.join(pages_path, f), in1)
+    for f in src_files:  # run 2 input CONTAINS run 1's files
+        shutil.copy(os.path.join(pages_path, f), in2)
+
+    idx = DedupIndex(str(tmp_path / "idx"), key_expr="url")
+    t1 = run_into_snapshot(spark, in1, str(tmp_path / "t1"),
+                           str(tmp_path / "ck1"), cfg, dedup_index=idx)
+    first = t1.read(spark).toPandas()
+    assert idx.read_keys(spark).count() == len(first)
+    assert (first["drop_reason"] != "dup_of_history").all()  # empty index
+
+    t2 = run_into_snapshot(spark, in2, str(tmp_path / "t2"),
+                           str(tmp_path / "ck2"), cfg, dedup_index=idx)
+    out2 = t2.read(spark).toPandas().set_index("url")
+    assert len(out2) == 1200
+    dup = out2[out2["drop_reason"] == "dup_of_history"]
+    assert set(dup.index) == set(first["url"])
+    assert not dup["keep"].any()
+    assert dup["scrubbed_text"].isna().all()
+
+    # fresh urls got REAL decisions, identical to the batch plan's
+    fresh = out2[out2["drop_reason"] != "dup_of_history"]
+    batch = (
+        quality_plan(
+            with_bucket(spark.read.parquet(pages_path), cfg.n_buckets)
+            .withColumn("doc_text", F.col("text")),
+            cfg, text_col="doc_text",
+        )
+        .select("url", "keep")
+        .toPandas().set_index("url")
+    )
+    common = fresh.index.intersection(batch.index)
+    assert len(common) == len(fresh)
+    assert (fresh.loc[common, "keep"] == batch.loc[common, "keep"]).all()
+
+    # run 2 registered only the fresh urls; index keys stay unique
+    keys = idx.read_keys(spark)
+    assert keys.count() == 1200
+    assert keys.select("key").distinct().count() == 1200
