@@ -40,12 +40,29 @@ from curator_spark.engine.schema import PAGES
 from curator_spark.pipeline.run import OUT_COLS, quality_plan, with_bucket
 
 
+def history_key_table(spark: SparkSession, dedup_index) -> DataFrame | None:
+    """(key, dup_canonical) static table for stream marking — one row
+    per key even if the index holds duplicates (row inflation
+    impossible). None when the index is absent/empty. The CALLER owns
+    persist()/unpersist() (run_into_snapshot persists for the query's
+    lifetime and releases it after — a persist inside the plan builder
+    would leak cache across a long-lived session)."""
+    if dedup_index is None or not dedup_index.has_keys():
+        return None
+    return (
+        dedup_index.read_keys(spark)
+        .groupBy("key")
+        .agg(F.min("doc_ref").alias("dup_canonical"))
+    )
+
+
 def score_stream(
     spark: SparkSession,
     input_dir: str,
     cfg: QualityConfig | None = None,
     max_files_per_trigger: int | None = None,
     dedup_index=None,
+    history_keys: DataFrame | None = None,
 ) -> DataFrame:
     """Scored stream over a pages dir. With `dedup_index` (a
     pipeline/dedup_index.DedupIndex), urls already registered in the
@@ -67,16 +84,12 @@ def score_stream(
     pages = reader.parquet(input_dir)
     pages = with_bucket(pages, cfg.n_buckets)
     dup = F.lit(False)
-    if dedup_index is not None and dedup_index.has_keys():
-        keys = (
-            dedup_index.read_keys(spark)
-            .groupBy("key")  # dup index keys must never inflate rows
-            .agg(F.min("doc_ref").alias("dup_canonical"))
-        )
-        keys.persist()  # static side: materialize once, not per batch
+    if history_keys is None:
+        history_keys = history_key_table(spark, dedup_index)
+    if history_keys is not None:
         pages = (
             pages.withColumn("key", dedup_index.key_col())
-            .join(keys, "key", "left")  # stream-static left join
+            .join(history_keys, "key", "left")  # stream-static left join
             .withColumn("dup_of_history", F.col("dup_canonical").isNotNull())
             .drop("key", "dup_canonical")
         )
@@ -257,18 +270,25 @@ def run_into_snapshot(
             f"got {dedup_index.id_col!r}"
         )
     table = open_table(table_root, spark=spark)
+    keys = history_key_table(spark, dedup_index)
+    if keys is not None:
+        keys.persist()  # static side: materialize once, not per batch
     scored = score_stream(spark, input_dir, cfg, max_files_per_trigger,
-                          dedup_index=dedup_index)
-    q = (
-        scored.writeStream.foreachBatch(
-            make_snapshot_batch_committer(table, checkpoint_dir,
-                                          dedup_index=dedup_index)
+                          dedup_index=dedup_index, history_keys=keys)
+    try:
+        q = (
+            scored.writeStream.foreachBatch(
+                make_snapshot_batch_committer(table, checkpoint_dir,
+                                              dedup_index=dedup_index)
+            )
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
         )
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
+    finally:
+        if keys is not None:
+            keys.unpersist()
     return table
 
 
