@@ -144,8 +144,10 @@ class DedupIndex:
         identically to the index."""
         return F.md5(F.expr(self.key_expr).cast("string"))
 
-    # internal alias kept for brevity
-    _key_col = key_col
+    def _key_col(self):
+        # dynamic alias (NOT a class-body binding): subclasses that
+        # redefine key_col must see their override here too
+        return self.key_col()
 
     def _bucket_col(self):
         return F.pmod(F.xxhash64(F.col("key")), F.lit(self.n_buckets)).cast(
@@ -374,6 +376,15 @@ class DedupIndex:
             )
         return {"status": "rebuilt", "as_of": as_of, "index_keys": n}
 
+    # overridden by NearDupIndex (multi-key derivation)
+    def _exploded_keys(self, df: DataFrame) -> DataFrame:
+        """(__rid, key) pairs for marking — one key per row for the
+        exact index; N band keys per row for the near-dup index."""
+        return df.select(
+            F.col(self.id_col).alias("__rid"),
+            self._key_col().alias("key"),
+        ).where(F.col("key").isNotNull())
+
     def mark_history_dups(
         self, spark: SparkSession, df: DataFrame
     ) -> DataFrame:
@@ -382,12 +393,13 @@ class DedupIndex:
         NULL), WITHOUT mutating the index.
 
         Plan: batch keys broadcast into one index scan (history never
-        shuffles); the bounded dup set broadcasts back onto the batch.
+        shuffles); the dup set — bounded by the batch's distinct keys
+        — joins back (broadcast-hinted only under broadcast_cap; a
+        crawl-sized batch's dup set must not be forced driver-side).
         Use before `refresh()` to route known-dup rows away from
         expensive scoring stages.
         """
-        with_key = df.withColumn("key", self._key_col())
-        no_dups = with_key.withColumn(
+        no_dups = df.withColumn(
             "dup_of_history", F.lit(False)
         ).withColumn("dup_canonical", F.lit(None).cast("string"))
         # Empty-index short-circuit BEFORE the batch-key count: the
@@ -397,9 +409,8 @@ class DedupIndex:
         # read() returns an empty DataFrame rather than None.
         if not self.has_keys():
             return no_dups
-        batch_keys = with_key.select("key").where(
-            F.col("key").isNotNull()
-        ).distinct()
+        ek = self._exploded_keys(df)
+        batch_keys = ek.select("key").distinct()
         n_batch = batch_keys.count()
         dup = self._dup_keys(spark, batch_keys, n_batch)
         if dup is None:
@@ -408,10 +419,127 @@ class DedupIndex:
         # (e.g. two concurrent refreshes that both won their manifest
         # race and registered overlapping slices) must degrade to a
         # redundant-storage problem, never row inflation of the batch
-        dup = dup.groupBy("key").agg(F.min("doc_ref").alias("dup_canonical"))
+        dup = dup.groupBy("key").agg(F.min("doc_ref").alias("__c"))
+        if n_batch <= self.broadcast_cap:
+            dup = F.broadcast(dup)
+        # per-ROW verdict: a row is dup/candidate if ANY of its keys
+        # hit; `hits` is grouped by __rid, so rows repeated in the
+        # batch (same id) still come back one-flag-per-input-row
+        hits = (
+            ek.join(dup, "key")
+            .groupBy("__rid")
+            .agg(F.min("__c").alias("dup_canonical"))
+            .withColumnRenamed("__rid", self.id_col)
+        )
+        if n_batch <= self.broadcast_cap:
+            hits = F.broadcast(hits)
+        return df.join(hits, self.id_col, "left").withColumn(
+            "dup_of_history", F.col("dup_canonical").isNotNull()
+        )
+
+
+class NearDupIndex(DedupIndex):
+    """Cross-run NEAR-dup candidate index: the MinHash-LSH analog of
+    the exact index, for catching re-crawled pages whose bytes
+    CHANGED (boilerplate swap, timestamp, ad rotation) — the common
+    case exact url/text keys miss.
+
+    Keys are LSH band buckets: each doc contributes LSH_BANDS keys
+    ``"<band_id>:<band_hash>"`` derived from the same one-permutation
+    -hashing signature as `dedup_minhash_lsh` (queries/dedupq.py —
+    delegated, not re-implemented, so index and batch query agree on
+    candidate semantics by construction). The index stores ONE row per
+    distinct band bucket (min doc as the bucket representative), so it
+    grows with distinct buckets, not with docs x bands.
+
+    `mark_candidates` answers "LSH candidate of history": probability
+    ~1-(1-j^r)^b per the banding curve (~0.99 at Jaccard 0.9, ~2e-5 at
+    0.1 with the repo's K=16/b=4). A candidate is a ROUTING verdict —
+    send to exact verification (shingle Jaccard against the
+    representative's text) or a human threshold — NOT a drop decision;
+    that is why this class is not wired into QualityPipeline's keep/
+    drop path. Docs under 2 words produce no shingles, hence no keys:
+    they are never indexed or flagged here (the exact index covers
+    them).
+
+    Shares the whole DedupIndex lifecycle: incremental refresh
+    (O(new data), history never shuffled), atomic watermark commits,
+    rebuild(), config pinning (the text expression is pinned through
+    key_expr, so reopening with a different tokenization raises).
+    """
+
+    def __init__(
+        self,
+        index: CuratedTable | str,
+        text_expr: str = "text",
+        id_col: str = "url",
+        n_buckets: int = 64,
+        broadcast_cap: int = 2_000_000,
+        spark: SparkSession | None = None,
+    ):
+        self.text_expr = text_expr
+        super().__init__(
+            index,
+            key_expr=f"minhash-lsh({text_expr})",
+            id_col=id_col,
+            n_buckets=n_buckets,
+            broadcast_cap=broadcast_cap,
+            spark=spark,
+        )
+
+    def key_col(self):  # single-key derivation is undefined here
+        raise NotImplementedError(
+            "NearDupIndex derives multiple band keys per row; use "
+            "_exploded_keys / mark_candidates"
+        )
+
+    def _exploded_keys(self, df: DataFrame) -> DataFrame:
+        from curator_spark.functions.textstats import words
+        from curator_spark.queries.dedupq import (
+            LSH_BANDS,
+            MINHASH_K,
+            _band_col,
+            _minhash_agg_cols,
+            _shingles2,
+        )
+
+        sh = df.select(
+            F.col(self.id_col).alias("__rid"),
+            F.explode(_shingles2(words(F.expr(self.text_expr)))).alias("s"),
+        ).select("__rid", F.md5(F.col("s").cast("binary")).alias("h"))
+        sig = sh.groupBy("__rid").agg(*_minhash_agg_cols())
+        r = MINHASH_K // LSH_BANDS
+        return sig.select(
+            "__rid",
+            F.explode(
+                F.array(
+                    *[
+                        F.concat_ws(":", F.lit(str(b)), _band_col(b, r))
+                        for b in range(LSH_BANDS)
+                    ]
+                )
+            ).alias("key"),
+        )
+
+    def keys_of(self, df: DataFrame) -> DataFrame:
+        """One row per DISTINCT band bucket in the slice (min doc as
+        representative) — same shuffle shape as the exact index's
+        distinct-key agg, over bands x docs rows."""
         return (
-            with_key.join(F.broadcast(dup), "key", "left")
-            .withColumn(
-                "dup_of_history", F.col("dup_canonical").isNotNull()
-            )
+            self._exploded_keys(df)
+            .groupBy("key")
+            .agg(F.min(F.col("__rid").cast("string")).alias("doc_ref"))
+            .withColumn("bucket", self._bucket_col())
+            .select(*INDEX_COLS)
+        )
+
+    def mark_candidates(self, spark: SparkSession, df: DataFrame) -> DataFrame:
+        """`mark_history_dups` under candidate naming: adds
+        ``near_dup_candidate`` (any band collision with history) and
+        ``near_dup_canonical`` (a colliding bucket's representative
+        doc, for the exact-verify lookup)."""
+        return (
+            self.mark_history_dups(spark, df)
+            .withColumnRenamed("dup_of_history", "near_dup_candidate")
+            .withColumnRenamed("dup_canonical", "near_dup_canonical")
         )
