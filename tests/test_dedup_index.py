@@ -282,6 +282,34 @@ def test_randomized_op_sequence_matches_model(spark, tmp_path):
     assert {r["key"] for r in idx.read_keys(spark).collect()} == indexed
 
 
+def test_shuffle_route_above_broadcast_cap_same_answers(spark, tmp_path):
+    """broadcast_cap=3 forces the initial-build/backfill route (plain
+    semi-join, no broadcast hint) through refresh AND marking — results
+    must be identical to the broadcast route's."""
+    src = SnapshotTable(str(tmp_path / "src"))
+    small = DedupIndex(str(tmp_path / "i_shuffle"), key_expr="text",
+                       n_buckets=4, broadcast_cap=3)
+    big = DedupIndex(str(tmp_path / "i_bcast"), key_expr="text",
+                     n_buckets=4)
+    src.append(_docs(spark, 0, 30), {"b": 1})
+    r_s, r_b = small.refresh(spark, src), big.refresh(spark, src)
+    assert (r_s["new_keys"], r_s["dup_of_history"]) == (30, 0) == (
+        r_b["new_keys"], r_b["dup_of_history"])
+    src.append(_docs(spark, 30, 40, dup_of=[1, 2, 3]), {"b": 2})
+    r_s, r_b = small.refresh(spark, src), big.refresh(spark, src)
+    assert (r_s["new_keys"], r_s["dup_of_history"]) == (10, 3) == (
+        r_b["new_keys"], r_b["dup_of_history"])
+
+    batch = _docs(spark, 40, 44, dup_of=[5, 6])
+    for idx in (small, big):
+        got = {r["url"]: r["dup_of_history"]
+               for r in idx.mark_history_dups(spark, batch).collect()}
+        assert got["https://mirror.net/m5"] and got["https://mirror.net/m6"]
+        assert sum(got.values()) == 2
+    assert ({r["key"] for r in small.read_keys(spark).collect()}
+            == {r["key"] for r in big.read_keys(spark).collect()})
+
+
 def test_history_never_shuffles_on_broadcast_route(spark, tables):
     """Plan shape: the dup-detection join must broadcast the slice and
     stream the index — no Exchange on the index side."""
