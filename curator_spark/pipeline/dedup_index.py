@@ -543,3 +543,71 @@ class NearDupIndex(DedupIndex):
             .withColumnRenamed("dup_of_history", "near_dup_candidate")
             .withColumnRenamed("dup_canonical", "near_dup_canonical")
         )
+
+    def confirm_candidates(
+        self,
+        spark: SparkSession,
+        marked: DataFrame,
+        history: DataFrame,
+        threshold: float = 0.5,
+    ) -> DataFrame:
+        """The verify step of verify-then-drop: exact 2-gram shingle
+        Jaccard between each flagged candidate and its canonical's
+        text, adding ``near_dup_jaccard`` (NULL for non-candidates)
+        and ``near_dup_confirmed``.
+
+        `history` is a (id_col, text) view of the corpus the index was
+        built over. Plan: the candidate canonical set (bounded by the
+        batch) semi-filters history — one scan, no history shuffle
+        under broadcast_cap — then the canonical texts (again
+        batch-bounded) join back onto the candidates and the Jaccard
+        is a native array fold (array_intersect sizes, whole-stage
+        codegen, no Python). LSH banding only ever produces false
+        POSITIVES at this stage (a collision despite low similarity);
+        confirm removes them. False negatives (a true near-dup with no
+        band collision) are governed by the banding curve and are not
+        recoverable here.
+        """
+        from curator_spark.functions.textstats import words
+        from curator_spark.queries.dedupq import _shingles2
+
+        cand_canon = (
+            marked.where(F.col("near_dup_candidate"))
+            .select(F.col("near_dup_canonical").alias("__canon"))
+            .distinct()
+        )
+        hist_keys = history.select(
+            F.col(self.id_col).cast("string").alias("__canon"),
+            _shingles2(words(F.expr(self.text_expr))).alias("__csh"),
+        )
+        # canonical set is bounded by the batch's distinct canonicals
+        canon_sh = hist_keys.join(F.broadcast(cand_canon), "__canon", "leftsemi")
+        out = marked.withColumn(
+            "__csh_b", _shingles2(words(F.expr(self.text_expr)))
+        ).join(
+            F.broadcast(
+                canon_sh.withColumnRenamed("__canon", "near_dup_canonical")
+            ),
+            "near_dup_canonical",
+            "left",
+        )
+        inter = F.size(F.array_intersect(F.col("__csh_b"), F.col("__csh")))
+        union = (
+            F.size(F.col("__csh_b")) + F.size(F.col("__csh")) - inter
+        )
+        jac = F.when(
+            F.col("near_dup_candidate") & F.col("__csh").isNotNull()
+            & (union > 0),
+            inter.cast("double") / union.cast("double"),
+        )
+        return (
+            out.withColumn("near_dup_jaccard", jac)
+            .withColumn(
+                "near_dup_confirmed",
+                F.coalesce(
+                    F.col("near_dup_jaccard") >= F.lit(threshold),
+                    F.lit(False),
+                ),
+            )
+            .drop("__csh_b", "__csh")
+        )

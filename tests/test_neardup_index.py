@@ -129,3 +129,41 @@ def test_semantics_match_batch_lsh_query(spark, seeded, tmp_path):
             cand_ids.add(r["doc_a"])
     for url in ("https://b/near", "https://b/new"):
         assert m[url] == (ids[url] in cand_ids), url
+
+
+def test_confirm_candidates_verify_then_drop(spark, seeded):
+    """Exact shingle-Jaccard confirm over flagged candidates: a
+    lightly-edited re-crawl confirms at 0.5, a heavily-rewritten page
+    that still band-collides is rejected by a high threshold, and
+    non-candidates carry NULL jaccard / False confirmed."""
+    src, idx = seeded
+    heavy = " ".join(
+        w if i % 3 == 0 else f"w{i}" for i, w in enumerate(BASE.split())
+    )  # keeps ~1/3 of words: some shingles survive, jaccard low
+    batch = _rows(spark, [
+        ("https://b/near", BASE.replace("seventeen", "eighteen")),
+        ("https://b/heavy", heavy),
+        ("https://b/new", "wholly disjoint vocabulary in this row with "
+                          "no overlap whatsoever against the corpus"),
+    ])
+    marked = idx.mark_candidates(spark, batch)
+    history = src.read(spark).select("url", "text")
+    out = idx.confirm_candidates(spark, marked, history, threshold=0.5)
+    got = {r["url"]: (r["near_dup_candidate"], r["near_dup_jaccard"],
+                      r["near_dup_confirmed"]) for r in out.collect()}
+
+    cand, jac, ok = got["https://b/near"]
+    assert cand and ok and jac is not None and jac >= 0.5
+    assert got["https://b/new"] == (False, None, False)
+    cand_h, jac_h, ok_h = got["https://b/heavy"]
+    if cand_h:  # band collision possible; confirm must reject it
+        assert jac_h is not None and jac_h < 0.5 and not ok_h
+    else:
+        assert jac_h is None and not ok_h
+    assert out.count() == 3  # no row inflation through the confirm joins
+
+    # confirmed set is monotone in threshold
+    strict = idx.confirm_candidates(spark, marked, history, threshold=0.99)
+    n_strict = strict.where("near_dup_confirmed").count()
+    n_loose = out.where("near_dup_confirmed").count()
+    assert n_strict <= n_loose
