@@ -576,12 +576,23 @@ class NearDupIndex(DedupIndex):
             .select(F.col("near_dup_canonical").alias("__canon"))
             .distinct()
         )
-        hist_keys = history.select(
-            F.col(self.id_col).cast("string").alias("__canon"),
-            _shingles2(words(F.expr(self.text_expr))).alias("__csh"),
+        # canonical set is bounded by the batch's distinct canonicals;
+        # history may hold the same id across snapshots — dedupe to ONE
+        # text per canonical (deterministic min) so the join-back below
+        # can never inflate candidate rows
+        canon_sh = (
+            history.select(
+                F.col(self.id_col).cast("string").alias("__canon"),
+                F.expr(self.text_expr).cast("string").alias("__ctext"),
+            )
+            .join(F.broadcast(cand_canon), "__canon", "leftsemi")
+            .groupBy("__canon")
+            .agg(F.min("__ctext").alias("__ctext"))
+            .select(
+                "__canon",
+                _shingles2(words(F.col("__ctext"))).alias("__csh"),
+            )
         )
-        # canonical set is bounded by the batch's distinct canonicals
-        canon_sh = hist_keys.join(F.broadcast(cand_canon), "__canon", "leftsemi")
         out = marked.withColumn(
             "__csh_b", _shingles2(words(F.expr(self.text_expr)))
         ).join(

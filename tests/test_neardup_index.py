@@ -167,3 +167,19 @@ def test_confirm_candidates_verify_then_drop(spark, seeded):
     n_strict = strict.where("near_dup_confirmed").count()
     n_loose = out.where("near_dup_confirmed").count()
     assert n_strict <= n_loose
+
+
+def test_confirm_with_duplicate_history_ids_no_inflation(spark, seeded):
+    """History holding the same url across snapshots (re-appended rows)
+    must not multiply candidate rows through the canonical-text join."""
+    src, idx = seeded
+    src.append(_rows(spark, [("https://h/1", BASE)]), {"b": 99})  # re-append
+    batch = _rows(spark, [("https://b/near",
+                           BASE.replace("seventeen", "eighteen"))])
+    marked = idx.mark_candidates(spark, batch)
+    history = src.read(spark).select("url", "text")
+    assert history.where("url = 'https://h/1'").count() == 2
+    out = idx.confirm_candidates(spark, marked, history, threshold=0.5)
+    assert out.count() == 1
+    row = out.collect()[0]
+    assert row["near_dup_confirmed"] and row["near_dup_jaccard"] >= 0.5
