@@ -593,8 +593,16 @@ class NearDupIndex(DedupIndex):
                 _shingles2(words(F.col("__ctext"))).alias("__csh"),
             )
         )
+        # shingle only the flagged rows: candidates are typically a
+        # small fraction of a crawl batch, and the shingle expression
+        # (regex split + 2-gram concat) is the costly part of this
+        # projection — non-candidates keep a NULL and skip the work
         out = marked.withColumn(
-            "__csh_b", _shingles2(words(F.expr(self.text_expr)))
+            "__csh_b",
+            F.when(
+                F.col("near_dup_candidate"),
+                _shingles2(words(F.expr(self.text_expr))),
+            ),
         ).join(
             F.broadcast(
                 canon_sh.withColumnRenamed("__canon", "near_dup_canonical")
