@@ -274,6 +274,13 @@ def mark_top_frac(
     probes; the returned frame filters the persisted input with a
     narrow predicate (no window, no extra shuffle).
 
+    floor() here means floor of the IEEE-double product, i.e.
+    `int(frac * n)` — identical to what a SQL oracle's
+    `floor(frac * count(*))` computes, since both engines evaluate the
+    product in double precision (e.g. 0.29 * 100 is 28.999...96 in
+    binary, so BOTH sides select 28, not the 29 exact rational
+    arithmetic would give).
+
     Contract: `value_col` must be non-NULL (coalesce first — NULL
     poisons the comparison predicate). NaN IS supported and ranks
     above every other value, matching Spark's rank ordering.

@@ -65,6 +65,12 @@ from curator_spark.pipeline.catalog import CuratedTable, open_table
 
 INDEX_COLS = ("key", "bucket", "doc_ref")
 
+# confirm_candidates ships whole shingle ARRAYS (multi-KB per canonical,
+# vs 32-byte ids elsewhere), so its lookup broadcast gets its own much
+# smaller cap: 100k canonicals x ~2-5 KB of shingles ≈ a few hundred MB,
+# comfortably under Spark's broadcast limits.
+CONFIRM_BROADCAST_CAP = 100_000
+
 
 class DedupIndex:
     """Persistent exact-dup index over a source `CuratedTable`.
@@ -96,6 +102,7 @@ class DedupIndex:
         n_buckets: int = 64,
         broadcast_cap: int = 2_000_000,
         spark: SparkSession | None = None,
+        allow_repin: bool = False,
     ):
         self.table = (
             open_table(index, spark) if isinstance(index, str) else index
@@ -104,6 +111,8 @@ class DedupIndex:
         self.id_col = id_col
         self.n_buckets = int(n_buckets)
         self.broadcast_cap = int(broadcast_cap)
+        self.allow_repin = bool(allow_repin)
+        self._config_conflict: str | None = None
         self._load_pinned_config()
 
     # -- config pinning -------------------------------------------------------
@@ -115,18 +124,39 @@ class DedupIndex:
                 continue
             pinned_b = int(meta["index_n_buckets"])
             pinned_k = meta.get("index_key_expr")
+            conflict = None
             if pinned_k is not None and pinned_k != self.key_expr:
-                raise ValueError(
+                conflict = (
                     f"index at {getattr(self.table, 'root', self.table)} was "
                     f"built with key_expr={pinned_k!r}; re-keying to "
-                    f"{self.key_expr!r} requires rebuild()"
+                    f"{self.key_expr!r} requires rebuild() (reopen with "
+                    f"allow_repin=True, then call rebuild())"
                 )
-            if pinned_b != self.n_buckets:
-                raise ValueError(
-                    f"index was built with n_buckets={pinned_b}; "
-                    f"got {self.n_buckets} — re-bucketing requires rebuild()"
+            elif pinned_b != self.n_buckets:
+                conflict = (
+                    f"index was built with n_buckets={pinned_b}; got "
+                    f"{self.n_buckets} — re-bucketing requires rebuild() "
+                    f"(reopen with allow_repin=True, then call rebuild())"
                 )
+            if conflict is None:
+                return
+            # allow_repin defers the failure so the prescribed remedy is
+            # actually reachable: the object can be constructed with the
+            # NEW config, but every membership operation refuses until
+            # rebuild() has re-derived the index under it (using the new
+            # config against old-config index rows would silently
+            # corrupt membership answers).
+            if not self.allow_repin:
+                raise ValueError(conflict)
+            self._config_conflict = conflict
             return
+
+    def _require_config_ok(self) -> None:
+        if self._config_conflict:
+            raise ValueError(
+                f"index config conflict pending rebuild(): "
+                f"{self._config_conflict}"
+            )
 
     def _meta(self, **extra: Any) -> dict[str, Any]:
         return {
@@ -192,15 +222,28 @@ class DedupIndex:
         return self.table.read(spark)
 
     def has_keys(self) -> bool:
-        """True iff any active commit registered keys — answered from
+        """True iff the CURRENT index state holds keys — answered from
         commit META alone (zero Spark jobs, portable across catalog
         adapters), so callers can skip building a marking plan against
-        an empty index entirely."""
+        an empty index entirely.
+
+        The walk is chronological and a ``rebuilt`` commit RESETS the
+        flag to that rebuild's own key count: the local manifest store
+        already drops replaced commits from `active_commits`, but the
+        Iceberg adapter intentionally returns every snapshot (catalog.py
+        — Iceberg's own lineage records replacement), so without the
+        reset a rebuild down to zero keys would leave stale pre-rebuild
+        `new_keys` commits answering True forever."""
+        state = False
         for c in self.table.active_commits():
             m = c.get("meta", {})
-            if m.get("new_keys", 0) or m.get("index_keys", 0):
-                return True
-        return False
+            if "index_n_buckets" not in m:
+                continue  # foreign commit on a shared table
+            if m.get("rebuilt"):
+                state = bool(m.get("index_keys", 0))
+            elif m.get("new_keys", 0) or m.get("index_keys", 0):
+                state = True
+        return state
 
     # -- dup detection plans --------------------------------------------------
 
@@ -237,6 +280,7 @@ class DedupIndex:
         (broadcast route) and never shuffled. Raises ValueError if the
         window crosses a delete/overwrite snapshot — call `rebuild()`.
         """
+        self._require_config_ok()
         since = self.indexed_through
         as_of = source.current_snapshot_id()
         # equality, not <=: snapshot ids need not be monotonic
@@ -292,6 +336,7 @@ class DedupIndex:
         which have no snapshot ids to watermark). Same anti-join plan
         as refresh(); keys already present are not re-added, so calling
         this twice with the same batch is a no-op."""
+        self._require_config_ok()
         n_slice, n_new, n_dup = self._ingest_keys(
             spark, self.keys_of(df), dict(note or {})
         )
@@ -315,13 +360,23 @@ class DedupIndex:
             if dup is None:
                 new_keys, n_dup = slice_keys, 0
             else:
-                dup_only = dup.select("key")
-                # dup is bounded by the slice, so the join-back always
-                # broadcasts regardless of which route produced it.
-                new_keys = slice_keys.join(
-                    F.broadcast(dup_only), "key", "left_anti"
-                )
+                # distinct BEFORE counting and joining back: the index
+                # may hold duplicate key rows (concurrent refreshes that
+                # both won their manifest race — the documented degraded
+                # state), and without the distinct the dup stat counts
+                # index ROWS, not dup keys (it could even exceed
+                # n_slice).
+                dup_only = dup.select("key").distinct()
                 n_dup = dup_only.count()
+                # the dup set is bounded by the slice's distinct keys;
+                # broadcast-hint the join-back only when the SLICE was
+                # broadcast-sized — on the shuffle route (a backfill
+                # bigger than broadcast_cap) the dup set can be nearly
+                # slice-sized, and forcing it driver-side would hit the
+                # broadcast hard limit the route switch exists to avoid.
+                if n_dup <= self.broadcast_cap:
+                    dup_only = F.broadcast(dup_only)
+                new_keys = slice_keys.join(dup_only, "key", "left_anti")
             n_new = new_keys.count()
             meta = self._meta(
                 **meta_extra, new_keys=n_new, dup_of_history=n_dup
@@ -345,7 +400,9 @@ class DedupIndex:
         """Re-derive the whole index from the CURRENT source snapshot
         as one atomic ``overwrite`` commit (the recovery path after a
         source delete/overwrite broke append-only indexing, or after a
-        key_expr/n_buckets change)."""
+        key_expr/n_buckets change). Runs even under a pending config
+        conflict (allow_repin) — the overwrite commit re-pins the NEW
+        config and clears the conflict."""
         as_of = source.current_snapshot_id()
         full = source.read(spark)
         replaced = [
@@ -374,6 +431,7 @@ class DedupIndex:
             self.table.commit_parts(
                 [], meta, replaces=replaced or None, op="overwrite"
             )
+        self._config_conflict = None  # the overwrite re-pinned the config
         return {"status": "rebuilt", "as_of": as_of, "index_keys": n}
 
     # overridden by NearDupIndex (multi-key derivation)
@@ -399,6 +457,7 @@ class DedupIndex:
         Use before `refresh()` to route known-dup rows away from
         expensive scoring stages.
         """
+        self._require_config_ok()
         no_dups = df.withColumn(
             "dup_of_history", F.lit(False)
         ).withColumn("dup_canonical", F.lit(None).cast("string"))
@@ -576,6 +635,19 @@ class NearDupIndex(DedupIndex):
             .select(F.col("near_dup_canonical").alias("__canon"))
             .distinct()
         )
+        # Broadcasts are GATED, not forced: a re-crawl where most pages
+        # are candidates (this class's motivating case) makes the
+        # canonical set nearly batch-sized. The id-only semi-filter set
+        # gates on broadcast_cap (32-byte ids); the shingled lookup rows
+        # are multi-KB each, so they get a much smaller cap — above
+        # either cap the join runs as a plain shuffle join, which is the
+        # right plan for a candidate-heavy batch anyway.
+        n_canon = cand_canon.count()
+        canon_filter = (
+            F.broadcast(cand_canon)
+            if n_canon <= self.broadcast_cap
+            else cand_canon
+        )
         # canonical set is bounded by the batch's distinct canonicals;
         # history may hold the same id across snapshots — dedupe to ONE
         # text per canonical (deterministic min) so the join-back below
@@ -585,7 +657,7 @@ class NearDupIndex(DedupIndex):
                 F.col(self.id_col).cast("string").alias("__canon"),
                 F.expr(self.text_expr).cast("string").alias("__ctext"),
             )
-            .join(F.broadcast(cand_canon), "__canon", "leftsemi")
+            .join(canon_filter, "__canon", "leftsemi")
             .groupBy("__canon")
             .agg(F.min("__ctext").alias("__ctext"))
             .select(
@@ -603,13 +675,13 @@ class NearDupIndex(DedupIndex):
                 F.col("near_dup_candidate"),
                 _shingles2(words(F.expr(self.text_expr))),
             ),
-        ).join(
-            F.broadcast(
-                canon_sh.withColumnRenamed("__canon", "near_dup_canonical")
-            ),
-            "near_dup_canonical",
-            "left",
         )
+        canon_lookup = canon_sh.withColumnRenamed(
+            "__canon", "near_dup_canonical"
+        )
+        if n_canon <= CONFIRM_BROADCAST_CAP:
+            canon_lookup = F.broadcast(canon_lookup)
+        out = out.join(canon_lookup, "near_dup_canonical", "left")
         inter = F.size(F.array_intersect(F.col("__csh_b"), F.col("__csh")))
         union = (
             F.size(F.col("__csh_b")) + F.size(F.col("__csh")) - inter

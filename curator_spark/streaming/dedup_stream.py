@@ -53,6 +53,8 @@ bounded mode keeps state size CONSTANT per bucket after a warm-up:
 
 from __future__ import annotations
 
+import json
+import os
 from collections.abc import Iterator
 from typing import Any
 
@@ -240,6 +242,57 @@ def dedup_stream_bounded(
     )
 
 
+STREAM_PIN_FILE = "curator_stream_config.json"
+
+
+def _pin_stream_config(checkpoint_dir: str, cfg: dict[str, Any]) -> None:
+    """Pin membership-critical stream parameters in the checkpoint dir.
+
+    The keyed state these streams restore is only meaningful under the
+    EXACT hash geometry that wrote it: a restart with different
+    `bloom_bits`/`n_hashes` computes bloom positions in a different
+    modulus than the restored bit arrays (previously-seen urls miss
+    their own bits and are silently RE-EMITTED — or, bits raised, the
+    position gather indexes past the smaller restored array and
+    crashes); a different `n_state_buckets` re-keys urls into buckets
+    whose state never saw them. Spark's state-store schema check cannot
+    catch any of this (the schema is unchanged), so the parameters are
+    pinned alongside the checkpoint on first start and a conflicting
+    restart raises instead of corrupting the no-duplicates invariant.
+    `exact_cap` is deliberately NOT pinned — the exact→bloom transition
+    is one-way per bucket and stays correct under any later cap.
+    """
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    path = os.path.join(checkpoint_dir, STREAM_PIN_FILE)
+    try:
+        with open(path) as fh:
+            pinned = json.load(fh)
+    except FileNotFoundError:
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(cfg, fh)
+        os.replace(tmp, path)  # atomic: no torn pin from a mid-write kill
+        return
+    except (OSError, ValueError) as e:
+        raise ValueError(
+            f"unreadable stream-config pin {path!r} ({e}); if the "
+            f"checkpoint's parameters are known to match, delete the pin "
+            f"file to re-pin — guessing here risks silent re-emission"
+        ) from e
+    bad = {
+        k: (pinned.get(k), v) for k, v in cfg.items() if pinned.get(k) != v
+    }
+    if bad:
+        detail = ", ".join(
+            f"{k}: pinned={p} got={g}" for k, (p, g) in sorted(bad.items())
+        )
+        raise ValueError(
+            f"stream config conflicts with checkpoint at "
+            f"{checkpoint_dir!r}: {detail} — restart with the pinned "
+            f"values or start a fresh checkpoint"
+        )
+
+
 def run_dedup_bounded_available_now(
     spark: SparkSession,
     input_dir: str,
@@ -248,13 +301,24 @@ def run_dedup_bounded_available_now(
     n_state_buckets: int = 64,
     exact_cap: int = DEFAULT_EXACT_CAP,
     bloom_bits: int = DEFAULT_BLOOM_BITS,
+    n_hashes: int = DEFAULT_N_HASHES,
 ) -> StreamingQuery:
+    _pin_stream_config(
+        checkpoint_dir,
+        {
+            "mode": "bounded",
+            "n_state_buckets": n_state_buckets,
+            "bloom_bits": bloom_bits,
+            "n_hashes": n_hashes,
+        },
+    )
     dd = dedup_stream_bounded(
         spark,
         input_dir,
         n_state_buckets,
         exact_cap=exact_cap,
         bloom_bits=bloom_bits,
+        n_hashes=n_hashes,
     )
     q = (
         dd.writeStream.format("parquet")
@@ -321,6 +385,10 @@ def run_dedup_available_now(
     stop. Re-running with the same checkpoint restores the seen-set
     state, so duplicates of anything emitted in ANY earlier drain are
     suppressed."""
+    _pin_stream_config(
+        checkpoint_dir,
+        {"mode": "exact", "n_state_buckets": n_state_buckets},
+    )
     dd = dedup_stream(spark, input_dir, n_state_buckets)
     q = (
         dd.writeStream.format("parquet")

@@ -19,6 +19,7 @@ import shutil
 
 import numpy as np
 import pandas as pd
+import pytest
 
 from curator_spark.streaming.dedup_stream import (
     make_bounded_dedup_fn,
@@ -197,3 +198,59 @@ def test_reconcile_zeroes_bloom_drops(spark, pages_path, tmp_path):
     rec2 = reconcile_bloom_drops(spark, in_dir, out_dir)
     assert rec.exceptAll(rec2).count() == 0
     assert rec2.exceptAll(rec).count() == 0
+
+
+def test_stream_config_pin_unit(tmp_path):
+    """Membership geometry is pinned with the checkpoint: same config
+    re-pins silently, conflicting geometry raises naming the offending
+    keys, and a torn pin file refuses rather than guessing."""
+    from curator_spark.streaming.dedup_stream import (
+        STREAM_PIN_FILE,
+        _pin_stream_config,
+    )
+
+    ck = str(tmp_path / "ck")
+    cfg = {"mode": "bounded", "n_state_buckets": 8,
+           "bloom_bits": 1 << 20, "n_hashes": 5}
+    _pin_stream_config(ck, cfg)            # first start writes the pin
+    _pin_stream_config(ck, dict(cfg))      # identical restart: fine
+    with pytest.raises(ValueError, match="bloom_bits"):
+        _pin_stream_config(ck, {**cfg, "bloom_bits": 1 << 10})
+    with pytest.raises(ValueError, match="n_state_buckets"):
+        _pin_stream_config(ck, {**cfg, "n_state_buckets": 16})
+    with open(os.path.join(ck, STREAM_PIN_FILE), "w") as fh:
+        fh.write('{"torn')
+    with pytest.raises(ValueError, match="unreadable"):
+        _pin_stream_config(ck, cfg)
+
+
+def test_bounded_restart_with_changed_geometry_refuses(
+    spark, pages_path, tmp_path
+):
+    """A checkpointed bounded stream restarted with different bloom
+    geometry would silently re-emit duplicates (positions computed in a
+    different modulus than the restored bit arrays) — the run helper
+    must refuse before the stream starts."""
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    src = sorted(glob.glob(os.path.join(pages_path, "*.parquet")))
+    shutil.copy(src[0], os.path.join(in_dir, "a.parquet"))
+    run_dedup_bounded_available_now(
+        spark, in_dir, out_dir, ckpt,
+        n_state_buckets=8, exact_cap=25, bloom_bits=1 << 20,
+    )
+    n1 = spark.read.parquet(out_dir).count()
+    with pytest.raises(ValueError, match="bloom_bits"):
+        run_dedup_bounded_available_now(
+            spark, in_dir, out_dir, ckpt,
+            n_state_buckets=8, exact_cap=25, bloom_bits=1 << 16,
+        )
+    # exact_cap is NOT membership geometry: changing it is safe and
+    # must not refuse (the exact->bloom transition is one-way).
+    run_dedup_bounded_available_now(
+        spark, in_dir, out_dir, ckpt,
+        n_state_buckets=8, exact_cap=50, bloom_bits=1 << 20,
+    )
+    assert spark.read.parquet(out_dir).count() == n1  # nothing re-emitted

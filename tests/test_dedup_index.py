@@ -322,3 +322,139 @@ def test_history_never_shuffles_on_broadcast_route(spark, tables):
     plan = dup._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert existing is not None
+
+
+def test_allow_repin_defers_conflict_until_rebuild(spark, tables, tmp_path):
+    """The config-conflict remedy (rebuild) must be REACHABLE: a
+    conflicting reopen raises eagerly by default, but with
+    allow_repin=True the object constructs, every membership op
+    refuses until rebuild() re-pins, and afterwards the new config is
+    the pinned one."""
+    src, idx = tables
+    src.append(_docs(spark, 0, 20), {"b": 1})
+    idx.refresh(spark, src)
+    root = str(tmp_path / "idx")
+
+    # default: eager raise (unchanged contract)
+    with pytest.raises(ValueError, match="key_expr"):
+        DedupIndex(root, key_expr="url", n_buckets=8)
+
+    rekeyed = DedupIndex(root, key_expr="url", n_buckets=8, allow_repin=True)
+    batch = _docs(spark, 0, 5)
+    with pytest.raises(ValueError, match="pending rebuild"):
+        rekeyed.refresh(spark, src)
+    with pytest.raises(ValueError, match="pending rebuild"):
+        rekeyed.add_keys(spark, batch)
+    with pytest.raises(ValueError, match="pending rebuild"):
+        rekeyed.mark_history_dups(spark, batch)
+
+    r = rekeyed.rebuild(spark, src)
+    assert r["status"] == "rebuilt" and r["index_keys"] == 20
+    # operations now run under the NEW config...
+    marked = rekeyed.mark_history_dups(spark, _docs(spark, 0, 3))
+    assert marked.where("dup_of_history").count() == 3  # url-keyed now
+    # ...and a plain reopen with the new config passes the pin check
+    again = DedupIndex(root, key_expr="url", n_buckets=8)
+    assert again.indexed_through == src.current_snapshot_id()
+    # while the OLD config now conflicts
+    with pytest.raises(ValueError, match="key_expr"):
+        DedupIndex(root, key_expr="text", n_buckets=8)
+
+
+def test_dup_stats_count_distinct_keys_not_index_rows(spark, tables):
+    """Duplicate key rows in the index (the documented concurrent-
+    refresh degraded state) must not inflate dup_of_history stats: the
+    stat counts distinct dup KEYS, so it can never exceed slice_keys."""
+    src, idx = tables
+    batch = _docs(spark, 0, 10)
+    idx.add_keys(spark, batch)
+    # simulate the race: a second writer re-registers the same keys
+    # directly (bypassing the anti-join), duplicating every index row
+    idx.table.append(
+        idx.keys_of(batch).repartition("bucket"),
+        {"index_n_buckets": 8, "index_key_expr": "text", "new_keys": 10},
+        partition_by=["bucket"],
+    )
+    assert idx.read_keys(spark).count() == 20  # degraded: 2 rows/key
+
+    r = idx.add_keys(spark, _docs(spark, 5, 15))
+    assert r["slice_keys"] == 10
+    assert r["dup_of_history"] == 5  # NOT 10 (2 index rows per dup key)
+    assert r["new_keys"] == 5
+    # and marking still returns one flag per input row
+    m = idx.mark_history_dups(spark, _docs(spark, 0, 3))
+    assert m.count() == 3 and m.where("dup_of_history").count() == 3
+
+
+class _StubCommits:
+    """Iceberg-shaped commit lineage: active_commits returns EVERY
+    snapshot (the Iceberg adapter never filters replaces — Iceberg's
+    own lineage records replacement)."""
+
+    def __init__(self, commits):
+        self.commits = commits
+
+    def active_commits(self, as_of=None):
+        return list(self.commits)
+
+
+def test_has_keys_resets_at_rebuild_commits_iceberg_style():
+    meta = {"index_n_buckets": 8, "index_key_expr": "text"}
+    commits = [
+        {"snapshot_id": 1, "meta": {**meta, "new_keys": 50}},
+        {"snapshot_id": 2, "meta": {**meta, "rebuilt": True,
+                                    "index_keys": 0}},
+    ]
+    idx = DedupIndex(_StubCommits(commits), key_expr="text", n_buckets=8)
+    # pre-rebuild new_keys must NOT leak through the rebuild-to-empty
+    assert idx.has_keys() is False
+    commits.append({"snapshot_id": 3, "meta": {**meta, "new_keys": 7}})
+    assert idx.has_keys() is True
+    commits.append({"snapshot_id": 4, "meta": {**meta, "rebuilt": True,
+                                               "index_keys": 3}})
+    assert idx.has_keys() is True
+    # foreign commits on a shared table are ignored
+    commits.append({"snapshot_id": 5, "meta": {"new_keys": 99}})
+    commits.append({"snapshot_id": 6, "meta": {**meta, "rebuilt": True,
+                                               "index_keys": 0}})
+    assert idx.has_keys() is False
+
+
+def test_shuffle_route_ingest_does_not_force_broadcast(spark, tmp_path):
+    """broadcast_cap=0 drives BOTH the dup-detection join and the
+    join-back through the shuffle route; stats and stored keys must
+    match the broadcast route exactly."""
+    src = SnapshotTable(str(tmp_path / "src2"))
+    src.append(_docs(spark, 0, 30), {"b": 1})
+    bc = DedupIndex(str(tmp_path / "ib"), key_expr="text", n_buckets=8)
+    sh = DedupIndex(str(tmp_path / "is"), key_expr="text", n_buckets=8,
+                    broadcast_cap=0)
+    r_b, r_s = bc.refresh(spark, src), sh.refresh(spark, src)
+    assert r_b["new_keys"] == r_s["new_keys"] == 30
+
+    batch = _docs(spark, 30, 40, dup_of=[1, 2, 3])
+    r_b, r_s = bc.add_keys(spark, batch), sh.add_keys(spark, batch)
+    assert (r_b["new_keys"], r_b["dup_of_history"]) == (10, 3) == (
+        r_s["new_keys"], r_s["dup_of_history"])
+    # above the cap the join-back must not carry a broadcast HINT —
+    # a hint bypasses Spark's size limits, which is exactly the driver
+    # OOM the route switch exists to avoid. AQE may still CHOOSE
+    # broadcast at runtime from the actual (tiny, here) size: that is
+    # correct behavior, so assert on the optimized logical plan's
+    # hints, not the executed join's physical operator.
+    slice_keys = sh.keys_of(_docs(spark, 0, 5)).persist()
+    try:
+        dup = sh._dup_keys(spark, slice_keys, slice_keys.count())
+        dup_only = dup.select("key").distinct()
+        anti = slice_keys.join(dup_only, "key", "left_anti")
+        logical = anti._jdf.queryExecution().optimizedPlan().toString()
+        assert "strategy=broadcast" not in logical
+        # the under-cap route DOES hint (pinning the contrast)
+        hinted = slice_keys.join(
+            F.broadcast(dup_only), "key", "left_anti"
+        )
+        assert "strategy=broadcast" in (
+            hinted._jdf.queryExecution().optimizedPlan().toString()
+        )
+    finally:
+        slice_keys.unpersist()

@@ -183,3 +183,42 @@ def test_confirm_with_duplicate_history_ids_no_inflation(spark, seeded):
     assert out.count() == 1
     row = out.collect()[0]
     assert row["near_dup_confirmed"] and row["near_dup_jaccard"] >= 0.5
+
+
+def test_confirm_route_parity_without_broadcast_hints(
+    spark, seeded, monkeypatch
+):
+    """Forcing every confirm join onto the un-hinted (shuffle) route —
+    the candidate-heavy-batch path — must produce byte-identical
+    verdicts to the broadcast route."""
+    import curator_spark.pipeline.dedup_index as di
+
+    src, idx = seeded
+    batch = _rows(spark, [
+        ("https://b/near", BASE.replace("seventeen", "eighteen")),
+        ("https://b/new", "wholly disjoint vocabulary in this row with "
+                          "no overlap whatsoever against the corpus"),
+    ])
+    marked = idx.mark_candidates(spark, batch)
+    history = src.read(spark).select("url", "text")
+    cols = ["url", "near_dup_candidate", "near_dup_jaccard",
+            "near_dup_confirmed"]
+    want = sorted(
+        idx.confirm_candidates(spark, marked, history, 0.5)
+        .select(*cols).collect()
+    )
+
+    monkeypatch.setattr(di, "CONFIRM_BROADCAST_CAP", 0)
+    idx.broadcast_cap = 0
+    marked0 = idx.mark_candidates(spark, batch)  # hint-free marking too
+    got = sorted(
+        idx.confirm_candidates(spark, marked0, history, 0.5)
+        .select(*cols).collect()
+    )
+    assert got == want
+    # and the shuffle route really is hint-free end to end
+    plan = (
+        idx.confirm_candidates(spark, marked0, history, 0.5)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "strategy=broadcast" not in plan
