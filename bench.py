@@ -433,6 +433,14 @@ def run_fair_pair(
         if p_small.poll() is not None or p_big.poll() is not None:
             break  # a child died during warm-up; surface via _child_result
         time.sleep(0.1)
+    # If either child never signalled READY (warm-up past the 900 s
+    # wait, or a child's own go-timeout dropped it into unbarriered
+    # passes), the two measurement windows cover DIFFERENT minutes of a
+    # host that swings 2-4x on that timescale — the exact misalignment
+    # the barrier exists to prevent. Flag the pair so the estimator can
+    # exclude it from the clean basis instead of letting it become the
+    # recorded median.
+    barrier_ok = os.path.exists(ready_s) and os.path.exists(ready_b)
     t0 = time.time()
     b_s0, st_s0 = _slice_cpu_stats(cpus_s)
     b_b0, st_b0 = _slice_cpu_stats(cpus_b)
@@ -477,6 +485,7 @@ def run_fair_pair(
         "corr_small": rs["mean"] * corr_s, "corr_big": rb["mean"] * corr_b,
         "busy_small": busy_s, "steal_small": steal_s,
         "busy_big": busy_b, "steal_big": steal_b,
+        "barrier_misaligned": not barrier_ok,
         "corr_capped": cap_s or cap_b,
     }
 
@@ -577,7 +586,11 @@ def main() -> None:
         # clean pair on the books; that 1-pair sample became the gate
         # number's weakest link).
         def clean_count() -> int:
-            return sum(1 for p in pairs if steal_frac(p) < CLEAN_STEAL)
+            return sum(
+                1 for p in pairs
+                if steal_frac(p) < CLEAN_STEAL
+                and not p.get("barrier_misaligned")
+            )
 
         failed_pairs = 0
         while i < reps or (i < MAX_PAIRS and clean_count() < CLEAN_TARGET):
@@ -610,7 +623,12 @@ def main() -> None:
             print(json.dumps(result))
             return
 
-        clean = [p for p in pairs if steal_frac(p) < CLEAN_STEAL]
+        # an aligned pair = both children measured the same barrier
+        # window; misaligned pairs (warm-up past the ready-wait) sample
+        # disjoint minutes and are excluded from every basis that has
+        # an aligned alternative
+        aligned = [p for p in pairs if not p.get("barrier_misaligned")]
+        clean = [p for p in aligned if steal_frac(p) < CLEAN_STEAL]
         # headline = median RATIO over the CLEAN pairs (steal
         # correction is ~1 there, so corrected == raw) — but only when
         # there are >= 2 of them: a single clean window is the same
@@ -619,7 +637,7 @@ def main() -> None:
         # clean pairs the headline falls back to the median
         # steal-corrected ratio over ALL pairs. headline_basis records
         # which basis produced the number the driver reads.
-        basis = clean if len(clean) >= 2 else pairs
+        basis = clean if len(clean) >= 2 else (aligned or pairs)
         effs = sorted(ratio(p["corr_small"], p["corr_big"]) for p in basis)
         eff = effs[len(effs) // 2]
         med = min(
@@ -649,6 +667,7 @@ def main() -> None:
             ),
             "clean_pairs": len(clean),
             "n_pairs": len(pairs),
+            "misaligned_pairs": len(pairs) - len(aligned),
             # per-pair diagnostics capped at the LAST 4 pairs (stormy
             # rounds can run up to reps+5 pairs; uncapped arrays would
             # push the JSON line past the driver's 2000-char

@@ -46,6 +46,22 @@ FORMAT_CONF = "spark.curator.table.format"   # "local" (default) | "iceberg"
 FORMAT_ENV = "CURATOR_TABLE_FORMAT"
 
 
+def _sql_literal(v: Any) -> str:
+    """Render a Python value as a Spark SQL literal. repr() is NOT SQL
+    quoting: a value containing a single quote would break (or, with
+    crafted input, rewrite) the statement, and True/None repr as
+    invalid SQL tokens."""
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return str(v)
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    raise ValueError(
+        f"unsupported partition literal type {type(v).__name__}: {v!r}"
+    )
+
+
 class CuratedTable(abc.ABC):
     """Capability surface the pipeline requires of its output table."""
 
@@ -147,12 +163,36 @@ class IcebergTable(CuratedTable):
                 f"catalog configured? ({e})"
             ) from e
 
-    # -- two-phase protocol: stage locally, publish via writeTo ----------
+    # -- two-phase protocol: stage on SHARED storage, publish via writeTo
+    STAGE_CONF = "spark.curator.table.stage_dir"
+
     def stage_dir(self) -> str:
-        return os.path.join(
-            self.spark.conf.get("spark.local.dir", "/tmp"),
-            f"curator-stage-{uuid.uuid4().hex}",
-        )
+        """A staging path on storage every executor AND the driver can
+        see. On a multi-node cluster a driver-local path (spark.local.dir
+        /tmp) would scatter the stage write across executor-local disks
+        and commit()'s driver-side read-back would publish empty or
+        partial data — silent loss. Resolution: the explicit
+        ``spark.curator.table.stage_dir`` conf (any shared URI: s3://,
+        hdfs://, a mounted NFS path) > the table's own location from
+        ``DESCRIBE TABLE EXTENDED`` (already shared storage by
+        definition). No local fallback — better to fail loudly at stage
+        time than lose data at commit time."""
+        base = self.spark.conf.get(self.STAGE_CONF, None)
+        if base is None:
+            rows = self.spark.sql(
+                f"DESCRIBE TABLE EXTENDED {self.identifier}"
+            ).collect()
+            loc = {r["col_name"]: r["data_type"] for r in rows}.get(
+                "Location"
+            )
+            if not loc:
+                raise RuntimeError(
+                    f"cannot resolve a shared staging dir for "
+                    f"{self.identifier}: set {self.STAGE_CONF} to a "
+                    f"storage URI visible to all executors"
+                )
+            base = loc.rstrip("/") + "/_curator_stage"
+        return f"{base.rstrip('/')}/curator-stage-{uuid.uuid4().hex}"
 
     def commit(self, data_path, meta, replaces=None, op="append") -> int:
         """op='overwrite' must REPLACE table contents (DedupIndex.
@@ -218,18 +258,42 @@ class IcebergTable(CuratedTable):
 
     # -- lineage -----------------------------------------------------------
     def current_snapshot_id(self) -> int:
-        row = self.spark.sql(
-            f"SELECT snapshot_id FROM {self.identifier}.snapshots "
-            f"ORDER BY committed_at DESC LIMIT 1"
-        ).collect()
-        return int(row[0][0]) if row else 0
+        commits = self.active_commits()
+        return commits[-1]["snapshot_id"] if commits else 0
+
+    @staticmethod
+    def _chain_order(commits: list[dict[str, Any]]) -> list[dict[str, Any]]:
+        """Order commits by the parent_id CHAIN, not committed_at:
+        `committed_at` has millisecond granularity, and an overwrite's
+        DELETE+append pair (or any fast writer) routinely lands two
+        snapshots in the same millisecond — an ORDER BY tie that would
+        nondeterministically transpose commits (current_snapshot_id
+        could return the empty DELETE snapshot of its own overwrite).
+        The parent chain in the same metadata rows is the true linear
+        history; fall back to the given (committed_at) order only if
+        the chain is broken (branched table — not produced by this
+        writer)."""
+        by_parent = {}
+        ids = {c["snapshot_id"] for c in commits}
+        for c in commits:
+            p = c["parent_id"] if c["parent_id"] in ids else None
+            if p in by_parent:
+                return commits  # branch: chain order undefined
+            by_parent[p] = c
+        chain, cur = [], None
+        while cur in by_parent and len(chain) < len(commits):
+            nxt = by_parent[cur]
+            chain.append(nxt)
+            cur = nxt["snapshot_id"]
+        return chain if len(chain) == len(commits) else commits
 
     def active_commits(self, as_of=None) -> list[dict[str, Any]]:
         """Chronological commit lineage from the `.snapshots` metadata
-        table. `as_of` truncates AT that snapshot (inclusive) by
-        POSITION in commit order — Iceberg snapshot ids are random
-        64-bit values, so numeric comparison against them would pick
-        an arbitrary subset of history."""
+        table, ordered by the parent_id chain (see `_chain_order`).
+        `as_of` truncates AT that snapshot (inclusive) by POSITION in
+        commit order — Iceberg snapshot ids are random 64-bit values,
+        so numeric comparison against them would pick an arbitrary
+        subset of history."""
         q = (f"SELECT snapshot_id, parent_id, operation, summary "
              f"FROM {self.identifier}.snapshots ORDER BY committed_at")
         rows = self.spark.sql(q).collect()
@@ -243,6 +307,7 @@ class IcebergTable(CuratedTable):
                 "op": summary.get("curator-op", r.operation),
                 "meta": json.loads(summary.get(self.META_PROP, "{}")),
             })
+        out = self._chain_order(out)
         if as_of is not None:
             ids = [c["snapshot_id"] for c in out]
             if as_of not in ids:
@@ -253,58 +318,114 @@ class IcebergTable(CuratedTable):
         return out
 
     # -- reads ---------------------------------------------------------------
+    def _append_slices(self, spark, commits):
+        """Union the per-commit append slices. The exclusive lower
+        bound of each one-snapshot slice is the snapshot's PARENT id
+        from the .snapshots table — Iceberg ids are random, sid-1 is
+        not a snapshot; a parentless root snapshot's full content IS
+        its append."""
+        df = None
+        for c in commits:
+            if c["parent_id"] is None:
+                part = (
+                    spark.read.option("snapshot-id", c["snapshot_id"])
+                    .table(self.identifier)
+                )
+            else:
+                part = (
+                    spark.read.format("iceberg")
+                    .option("start-snapshot-id", c["parent_id"])
+                    .option("end-snapshot-id", c["snapshot_id"])
+                    .load(self.identifier)
+                )
+            df = part if df is None else df.unionByName(
+                part, allowMissingColumns=True
+            )
+        return df
+
     def read(self, spark, predicate=None, as_of=None):
         if predicate is not None:
-            # per-snapshot incremental unions mirror the local store's
-            # meta-predicate read; plain reads never take this path.
-            # The exclusive lower bound of each one-snapshot slice is
-            # the snapshot's PARENT id from the .snapshots table —
-            # Iceberg ids are random, sid-1 is not a snapshot.
-            keep = [c for c in self.active_commits(as_of)
-                    if predicate(c["meta"])]
+            # Per-snapshot incremental unions mirror the local store's
+            # meta-predicate read — but they reconstruct each commit AS
+            # APPENDED, so any later row-level delete/overwrite would be
+            # silently resurrected (the local store rewrites parts
+            # copy-on-write, so ITS predicate reads see post-delete
+            # state). Refuse loudly instead of diverging: after a
+            # delete, scope reads by data columns, not commit meta.
+            commits = self.active_commits(as_of)
+            mutating = [c for c in commits
+                        if c["op"] in ("delete", "overwrite")]
+            if mutating:
+                raise ValueError(
+                    f"meta-predicate read on {self.identifier} is not "
+                    f"available past row-level mutation snapshots "
+                    f"{[c['snapshot_id'] for c in mutating]}: commit "
+                    f"slices would resurrect deleted rows; read the "
+                    f"full table and filter on data columns instead"
+                )
+            keep = [c for c in commits
+                    if c["op"] != "replace" and predicate(c["meta"])]
             if not keep:
                 return None
-            parts = []
-            for c in keep:
-                if c["parent_id"] is None:
-                    # root snapshot: its full content IS its append
-                    parts.append(
-                        spark.read.option("snapshot-id", c["snapshot_id"])
-                        .table(self.identifier)
-                    )
-                else:
-                    parts.append(
-                        spark.read.format("iceberg")
-                        .option("start-snapshot-id", c["parent_id"])
-                        .option("end-snapshot-id", c["snapshot_id"])
-                        .load(self.identifier)
-                    )
-            df = parts[0]
-            for p in parts[1:]:
-                df = df.unionByName(p, allowMissingColumns=True)
-            return df
+            return self._append_slices(spark, keep)
         r = spark.read
         if as_of is not None:
             r = r.option("snapshot-id", as_of)
         return r.table(self.identifier)
 
     def read_incremental(self, spark, since, as_of=None, predicate=None):
-        r = (spark.read.format("iceberg")
-             .option("start-snapshot-id", since))
-        if as_of is not None:
-            r = r.option("end-snapshot-id", as_of)
-        return r.load(self.identifier)
+        """Appended rows after `since` (exclusive; 0 = from the table's
+        beginning — the never-refreshed consumer bootstrap) up to
+        `as_of` (inclusive). Mirrors the local store's contract
+        EXACTLY: replace (compaction) snapshots in the window are
+        skipped, delete/overwrite snapshots raise (appends-only is no
+        longer faithful), `predicate` filters commits by meta, and a
+        window with no matching appends returns None (the watermark-
+        advance branch consumers like DedupIndex.refresh rely on).
+        The raw start/end-snapshot-id scan Iceberg offers can express
+        none of those four behaviors, so the slices are assembled from
+        the commit lineage instead."""
+        commits = self.active_commits(as_of)
+        if since:
+            ids = [c["snapshot_id"] for c in commits]
+            if since not in ids:
+                raise ValueError(
+                    f"snapshot {since} not in {self.identifier} history"
+                )
+            window = commits[ids.index(since) + 1:]
+        else:
+            window = commits
+        bad = [c for c in window if c["op"] in ("delete", "overwrite")]
+        if bad:
+            raise ValueError(
+                "incremental append scan crosses non-append snapshots "
+                f"{[c['snapshot_id'] for c in bad]} "
+                f"({[c['op'] for c in bad]}); read a full snapshot "
+                "instead or start after them"
+            )
+        appends = [
+            c for c in window
+            if c["op"] == "append"
+            and (predicate is None or predicate(c["meta"]))
+        ]
+        if not appends:
+            return None
+        return self._append_slices(spark, appends)
 
     def read_changelog(self, spark, since, as_of=None):
         end = as_of if as_of is not None else self.current_snapshot_id()
-        self.spark.sql(
+        view = f"curator_changes_{uuid.uuid4().hex[:8]}"
+        # both statements run in the CALLER'S session: the view is
+        # session-scoped, so creating it in self.spark and reading it
+        # from a different `spark` would raise TABLE_OR_VIEW_NOT_FOUND
+        spark.sql(
             f"CALL {self._catalog}.system.create_changelog_view("
             f"table => '{self.identifier}', "
             f"options => map('start-snapshot-id','{since}',"
             f"'end-snapshot-id','{end}'), "
-            f"changelog_view => 'curator_changes')"
+            f"changelog_view => '{view}')"
         )
-        return spark.table("curator_changes")
+        return spark.table(view)
 
     # -- mutation + maintenance (COW is Iceberg-internal) -----------------
     def delete_where(self, spark, condition=None, partition_values=None,
@@ -325,6 +446,7 @@ class IcebergTable(CuratedTable):
                 "concept; scope the Iceberg DELETE by a data column"
             )
         clauses = []
+        view = None
         if anti_keys is not None:
             view = f"curator_del_{uuid.uuid4().hex[:8]}"
             anti_keys.select(key_col).createOrReplaceTempView(view)
@@ -339,29 +461,42 @@ class IcebergTable(CuratedTable):
                 )
             clauses.append(f"({condition})")
         if partition_values:
-            vals = ", ".join(repr(v) for v in partition_values)
+            vals = ", ".join(_sql_literal(v) for v in partition_values)
             clauses.append(f"{partition_col} IN ({vals})")
         if not clauses:
             raise ValueError("refusing an unscoped DELETE (no condition)")
-        spark.sql(
-            f"DELETE FROM {self.identifier} WHERE "
-            + " AND ".join(clauses)
-        )
+        try:
+            spark.sql(
+                f"DELETE FROM {self.identifier} WHERE "
+                + " AND ".join(clauses)
+            )
+        finally:
+            if view is not None:
+                spark.catalog.dropTempView(view)
         return {"snapshot_id": self.current_snapshot_id(),
                 "note": meta_note}
 
     def merge_upsert(self, spark, updates, key_col, **kwargs) -> int:
-        updates.createOrReplaceTempView("curator_merge_src")
+        # uuid-suffixed, dropped after: a fixed view name would let two
+        # concurrent merges in one session clobber each other's source
+        # frames — the second createOrReplaceTempView replacing the
+        # first's updates BEFORE its MERGE is analyzed upserts the
+        # wrong rows, silently.
+        view = f"curator_merge_{uuid.uuid4().hex[:8]}"
+        updates.createOrReplaceTempView(view)
         cols = updates.columns
         sets = ", ".join(f"t.{c} = s.{c}" for c in cols)
         ins = ", ".join(cols)
         vals = ", ".join(f"s.{c}" for c in cols)
-        spark.sql(
-            f"MERGE INTO {self.identifier} t USING curator_merge_src s "
-            f"ON t.{key_col} = s.{key_col} "
-            f"WHEN MATCHED THEN UPDATE SET {sets} "
-            f"WHEN NOT MATCHED THEN INSERT ({ins}) VALUES ({vals})"
-        )
+        try:
+            spark.sql(
+                f"MERGE INTO {self.identifier} t USING {view} s "
+                f"ON t.{key_col} = s.{key_col} "
+                f"WHEN MATCHED THEN UPDATE SET {sets} "
+                f"WHEN NOT MATCHED THEN INSERT ({ins}) VALUES ({vals})"
+            )
+        finally:
+            spark.catalog.dropTempView(view)
         return self.current_snapshot_id()
 
     def compact(self, spark, predicate=None, where: str | None = None,

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from curator_spark.queries.common import spread, t
+from curator_spark.queries.common import spread, sql_words, t
 
 MINHASH_K = 16         # OPH signature slots (one per hex digit bucket)
 LSH_BANDS = 4          # bands of r = K/LSH_BANDS = 4 rows: P(candidate)
@@ -64,10 +64,11 @@ SQL_SHINGLES2 = (
     "ELSE CAST([] AS VARCHAR[]) END"
 )
 
-SQL_WS_CTE = (
-    "SELECT doc_id, list_filter(regexp_split_to_array(text, '[ \\t\\n\\v\\f\\r]+'),"
-    " x -> x <> '') AS ws FROM documents"
-)
+# built on the ONE canonical SQL word definition (common.sql_words):
+# an inline duplicate of the tokenizer is exactly how a future word-
+# definition change (e.g. a new whitespace class) would silently split
+# the Spark/DuckDB shingle parity this file's oracles depend on
+SQL_WS_CTE = f"SELECT doc_id, {sql_words('text')} AS ws FROM documents"
 
 
 def _bucket_pairs(ids):

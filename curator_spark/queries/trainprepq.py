@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from curator_spark.functions.topk import salted_partition_rank
-from curator_spark.queries.common import spread, t
+from curator_spark.queries.common import spread, sql_words, t
 from curator_spark.queries.dedupq import _words
 
 NGRAM = 5          # decontamination shingle width (words)
@@ -66,10 +66,9 @@ SQL_SHINGLES = (
     "ELSE CAST([] AS VARCHAR[]) END"
 )
 
+# canonical tokenizer from common.sql_words — see dedupq.SQL_WS_CTE
 SQL_WS_CTE = (
-    "SELECT doc_id, lang, "
-    "list_filter(regexp_split_to_array(text, '[ \\t\\n\\v\\f\\r]+'), x -> x <> '') AS ws "
-    "FROM documents"
+    f"SELECT doc_id, lang, {sql_words('text')} AS ws FROM documents"
 )
 
 
