@@ -213,7 +213,18 @@ class IcebergTable(CuratedTable):
            .option(f"snapshot-property.{self.META_PROP}", json.dumps(meta))
            .option("snapshot-property.curator-op", op)
            .append())
-        return self.current_snapshot_id()
+        sid = self.current_snapshot_id()
+        # the append REWROTE the staged bytes into table-owned files
+        # (unlike the local store, which consumes its stage dir by
+        # renaming it into the table) — drop the stage dir so shared
+        # storage doesn't accumulate one orphan dir per run. Best
+        # effort: the commit above is already durable.
+        try:
+            from curator_spark.pipeline import fsutil
+            fsutil.delete(self.spark, data_path)
+        except Exception:
+            pass
+        return sid
 
     def commit_parts(self, parts, meta, replaces=None, op="append") -> int:
         """parts == [] (the zero-row run-slice bookkeeping commit):

@@ -20,29 +20,27 @@ from __future__ import annotations
 
 import hashlib
 import inspect
-import os
 
 from curator_spark.config import QualityConfig
+from curator_spark.pipeline import fsutil
 
 
-def input_identity(path: str) -> str:
+def input_identity(path: str, spark=None) -> str:
     """Stable identity of an input directory: sorted (name, size,
-    mtime_ns) triples. mtime is included because (name, size) alone
+    mtime) triples. mtime is included because (name, size) alone
     would serve stale cached output for a file regenerated in place
     with different content but the same byte size (fixed-width
     shards); an in-place rewrite with identical bytes merely
-    over-invalidates, which the module contract allows."""
-    entries = []
-    for root, _dirs, files in os.walk(path):
-        for f in sorted(files):
-            if f.startswith(("_", ".")):
-                continue
-            fp = os.path.join(root, f)
-            st = os.stat(fp)
-            entries.append(
-                f"{os.path.relpath(fp, path)}:{st.st_size}:{st.st_mtime_ns}"
-            )
-    return ";".join(sorted(entries))
+    over-invalidates, which the module contract allows.
+
+    Routed through fsutil so a SHARED-storage input (s3://, hdfs://)
+    lists its real files: a plain os.walk over such a URI yields
+    nothing, so every remote input would hash to the same EMPTY
+    identity — two different inputs under one config would share a
+    fingerprint and the second run would resume as "cached", serving
+    the first input's output. `spark` is required for schemed paths
+    (fsutil resolves the active session when omitted)."""
+    return ";".join(sorted(fsutil.listing(spark, path)))
 
 
 def _default_stage_objs() -> list:
@@ -83,10 +81,11 @@ def stage_code_hash(objs: list | None = None) -> str:
 
 
 def run_fingerprint(
-    input_path: str, cfg: QualityConfig, code_hash: str | None = None
+    input_path: str, cfg: QualityConfig, code_hash: str | None = None,
+    spark=None,
 ) -> str:
     h = hashlib.sha256()
-    h.update(input_identity(input_path).encode())
+    h.update(input_identity(input_path, spark=spark).encode())
     h.update(b"\x00")
     h.update(cfg.stable_json().encode())
     h.update(b"\x00")

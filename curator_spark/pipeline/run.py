@@ -27,8 +27,6 @@ written (column-pruned) output, never by re-running UDFs.
 from __future__ import annotations
 
 import json
-import os
-import shutil
 from dataclasses import dataclass, field
 from datetime import datetime, timezone
 
@@ -36,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from curator_spark.config import QualityConfig
+from curator_spark.pipeline import fsutil
 from curator_spark.pipeline.fingerprint import run_fingerprint
 from curator_spark.pipeline.catalog import CuratedTable, open_table
 from curator_spark.stages.decide import with_decision
@@ -340,7 +339,7 @@ class QualityPipeline:
         from_html: bool = True,
     ) -> RunResult:
         cfg = self.cfg
-        fp = run_fingerprint(input_path, cfg)
+        fp = run_fingerprint(input_path, cfg, spark=spark)
         done = self.committed_buckets(fp)
         todo = sorted(set(range(cfg.n_buckets)) - done)
         if max_buckets is not None:
@@ -390,11 +389,15 @@ class QualityPipeline:
         out.write.mode("overwrite").partitionBy("bucket_id").parquet(stage_dir)
 
         # relocate the quarantine partition out of the to-be-committed dir;
-        # counting it reads parquet footers of a (tiny) quarantine set only
+        # counting it reads parquet footers of a (tiny) quarantine set
+        # only. fsutil, not os.*: the Iceberg route stages on SHARED
+        # storage (s3://, hdfs://) where os.path.isdir is always False —
+        # failed rows would be committed into the table and failed_rows
+        # would read 0, silently defeating require_all_rows.
         n_failed = 0
-        quarantine = os.path.join(stage_dir, "bucket_id=-1")
-        if os.path.isdir(quarantine):
-            os.rename(quarantine, stage_dir + "_failed")
+        quarantine = stage_dir.rstrip("/") + "/bucket_id=-1"
+        if fsutil.exists(spark, quarantine):
+            fsutil.rename(spark, quarantine, stage_dir + "_failed")
             n_failed = spark.read.parquet(stage_dir + "_failed").count()
 
         # lineage counters from the committed bytes (column-pruned re-read;
@@ -454,10 +457,10 @@ class QualityPipeline:
             "failed_rows": n_failed,
             "committed_at": datetime.now(timezone.utc).isoformat(),
         }
-        has_parquet = any(
-            f.endswith(".parquet")
-            for _, _, fs in os.walk(stage_dir) for f in fs
-        )
+        # fsutil, not os.walk: on a shared-storage stage dir os.walk
+        # yields nothing, which would route EVERY run into the
+        # zero-data bookkeeping branch below — whole runs swallowed
+        has_parquet = fsutil.has_file_with_suffix(spark, stage_dir, ".parquet")
         if has_parquet:
             sid = self.table.commit(stage_dir, meta)
         else:
@@ -465,7 +468,7 @@ class QualityPipeline:
             # ZERO data parts (an empty data dir would crash the read
             # path's schema discovery) and drop the empty stage dir
             sid = self.table.commit_parts([], meta)
-            shutil.rmtree(stage_dir, ignore_errors=True)
+            fsutil.delete(spark, stage_dir)
 
         if self.dedup_index is not None and self.update_dedup_index:
             # Register AFTER the data commit so the index never claims

@@ -63,6 +63,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+
+from curator_spark.pipeline import fsutil
+from curator_spark.pipeline.fsutil import is_local_path
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
@@ -261,24 +264,33 @@ def _pin_stream_config(checkpoint_dir: str, cfg: dict[str, Any]) -> None:
     restart raises instead of corrupting the no-duplicates invariant.
     `exact_cap` is deliberately NOT pinned — the exact→bloom transition
     is one-way per bucket and stays correct under any later cap.
+
+    The pin rides fsutil so a SHARED-storage checkpoint (the normal
+    choice on a real cluster — the checkpoint must survive the driver
+    host) pins next to the actual state: os.* against "s3://..." would
+    write the pin to a junk LOCAL path, and a restart from another
+    driver host would find no pin and silently re-pin whatever config
+    it was given — exactly the corruption this function exists to
+    refuse. Local (scheme-less) checkpoints keep plain-os behavior.
     """
-    os.makedirs(checkpoint_dir, exist_ok=True)
-    path = os.path.join(checkpoint_dir, STREAM_PIN_FILE)
+    if is_local_path(checkpoint_dir):
+        os.makedirs(checkpoint_dir, exist_ok=True)
+    path = checkpoint_dir.rstrip("/") + "/" + STREAM_PIN_FILE
     try:
-        with open(path) as fh:
-            pinned = json.load(fh)
-    except FileNotFoundError:
-        tmp = path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(cfg, fh)
-        os.replace(tmp, path)  # atomic: no torn pin from a mid-write kill
-        return
+        text = fsutil.read_text(None, path)
+        pinned = None if text is None else json.loads(text)
     except (OSError, ValueError) as e:
+        # a corrupt/unreadable pin must refuse, not fall through to
+        # re-pin: guessing here risks silent re-emission
         raise ValueError(
             f"unreadable stream-config pin {path!r} ({e}); if the "
             f"checkpoint's parameters are known to match, delete the pin "
-            f"file to re-pin — guessing here risks silent re-emission"
+            f"file to re-pin"
         ) from e
+    if pinned is None:
+        # atomic write-then-rename: no torn pin from a mid-write kill
+        fsutil.write_text_atomic(None, path, json.dumps(cfg))
+        return
     bad = {
         k: (pinned.get(k), v) for k, v in cfg.items() if pinned.get(k) != v
     }
