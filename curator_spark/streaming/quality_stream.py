@@ -156,22 +156,37 @@ def checkpoint_lineage(checkpoint_dir: str) -> str:
     spellings of one path ('ckpt' vs its abspath) made one checkpoint
     two lineages (crash-replay under the other spelling re-appended).
     Falls back to the absolute path only before the query has ever
-    started (no metadata file yet)."""
+    started (no metadata file yet).
+
+    The metadata read rides fsutil: a shared-storage checkpoint
+    (s3://, hdfs:// — the normal choice on a real cluster) is
+    unreadable through plain open(), which silently demoted EVERY
+    remote lineage to the path fallback — and os.path.abspath over a
+    schemed URI prepends the driver's CWD, so a restart from a
+    different working directory minted a NEW lineage key and replayed
+    batches re-appended (the exact double-write this function
+    guards). Schemed paths fall back to the URI verbatim instead."""
     import json as _json
     import os as _os
 
-    meta_file = _os.path.join(checkpoint_dir, "metadata")
+    from curator_spark.pipeline import fsutil
+
+    meta_file = checkpoint_dir.rstrip("/") + "/metadata"
     try:
-        with open(meta_file, encoding="utf-8") as fh:
-            qid = _json.load(fh).get("id")
+        text = fsutil.read_text(None, meta_file)
+        if text is not None:
+            qid = _json.loads(text).get("id")
             if qid:
                 return str(qid)
-    except (OSError, ValueError):
-        # ValueError covers json.JSONDecodeError: a truncated or
-        # partially-written metadata file must degrade to the path
+    except Exception:
+        # broad on purpose: a truncated metadata file raises
+        # json.JSONDecodeError, a remote-FS hiccup raises a py4j
+        # error — any unreadable metadata must degrade to the path
         # fallback, not kill the stream at its first micro-batch.
         pass
-    return _os.path.abspath(checkpoint_dir)
+    if fsutil.is_local_path(checkpoint_dir):
+        return _os.path.abspath(checkpoint_dir)
+    return checkpoint_dir.rstrip("/")
 
 
 def make_snapshot_batch_committer(table, checkpoint_dir: str,

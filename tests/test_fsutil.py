@@ -188,6 +188,25 @@ def test_remote_stage_all_failed_cleans_up(spark, cfg, tmp_path):
     assert res2.cached and len(table.staged) == 1
 
 
+def test_checkpoint_lineage_file_scheme(spark, tmp_path):
+    """Remote checkpoints must resolve the persisted query id (plain
+    open() could not read them, demoting every remote lineage to a
+    path fallback), and the no-metadata fallback must be the URI
+    verbatim — os.path.abspath over a schemed path prepends the
+    driver's CWD, so a restart from another directory minted a new
+    lineage and replayed batches re-appended."""
+    from curator_spark.streaming.quality_stream import checkpoint_lineage
+
+    ck = tmp_path / "ckpt"
+    ck.mkdir()
+    uri = "file:" + str(ck)
+    # no metadata yet: verbatim URI, independent of CWD
+    assert checkpoint_lineage(uri) == uri
+    (ck / "metadata").write_text('{"id": "q-123"}')
+    assert checkpoint_lineage(uri) == "q-123"
+    assert checkpoint_lineage(str(ck)) == "q-123"  # local branch parity
+
+
 def test_stream_pin_file_scheme(spark, tmp_path):
     from curator_spark.streaming.dedup_stream import _pin_stream_config
 
