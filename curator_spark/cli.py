@@ -29,6 +29,12 @@ from curator_spark.config import QualityConfig
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="curator-spark")
     p.add_argument("--input", required=True, help="pages parquet dir")
+    p.add_argument("--input-format", choices=("parquet", "table"),
+                   default="parquet",
+                   help="'table' treats --input as a CuratedTable root/"
+                        "identifier (routed local|iceberg by "
+                        "spark.curator.table.format) and snapshot-pins "
+                        "the read — the north rule's Iceberg input face")
     p.add_argument("--out", required=True, help="output snapshot-table root")
     p.add_argument("--cores", type=int,
                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
@@ -179,11 +185,18 @@ def main(argv: list[str] | None = None) -> int:
         dedup_index=dedup_index,
         update_dedup_index=args.update_dedup_index,
     )
+    input_table = None
+    if args.input_format == "table":
+        from curator_spark.pipeline.catalog import open_table
+
+        input_table = open_table(args.input, spark=spark)
     try:
         res = pipe.run(
-            spark, args.input,
+            spark,
+            args.input if input_table is None else None,
             max_buckets=args.max_buckets,
             from_html=not args.from_text,
+            input_table=input_table,
         )
     except FailedRowsError as e:
         # exit 3 is RESERVED for the strictness contract (failed rows

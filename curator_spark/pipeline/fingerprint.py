@@ -82,10 +82,20 @@ def stage_code_hash(objs: list | None = None) -> str:
 
 def run_fingerprint(
     input_path: str, cfg: QualityConfig, code_hash: str | None = None,
-    spark=None,
+    spark=None, identity: str | None = None,
 ) -> str:
+    """`identity` overrides the file-listing input identity — table
+    inputs pass "table:<ident>@<snapshot_id>" so the fingerprint is a
+    pure function of the SNAPSHOT actually read: a resumed run on an
+    unchanged table re-derives the same fingerprint (and resumes),
+    while new crawl appends change the snapshot id and are a new
+    fingerprint (full reprocess) by construction — the exact analog of
+    the directory listing's mtime sensitivity."""
     h = hashlib.sha256()
-    h.update(input_identity(input_path, spark=spark).encode())
+    h.update(
+        (identity if identity is not None
+         else input_identity(input_path, spark=spark)).encode()
+    )
     h.update(b"\x00")
     h.update(cfg.stable_json().encode())
     h.update(b"\x00")

@@ -334,12 +334,36 @@ class QualityPipeline:
     def run(
         self,
         spark: SparkSession,
-        input_path: str,
+        input_path: str | None = None,
         max_buckets: int | None = None,
         from_html: bool = True,
+        input_table: CuratedTable | None = None,
     ) -> RunResult:
+        """Process `input_path` (a pages parquet dir) or `input_table`
+        (a CuratedTable — the north rule's "reads Iceberg tables"
+        face; exactly one of the two).
+
+        Table input is SNAPSHOT-PINNED: the current snapshot id is
+        resolved once, baked into the run fingerprint, and the read
+        time-travels to exactly that snapshot — so a crawler appending
+        mid-run cannot tear the input (rows appearing between buckets
+        would otherwise be half-processed under one fingerprint), a
+        killed run resumes against the identical bytes, and a grown
+        table is a NEW fingerprint (full run) by construction."""
         cfg = self.cfg
-        fp = run_fingerprint(input_path, cfg, spark=spark)
+        if (input_path is None) == (input_table is None):
+            raise ValueError(
+                "exactly one of input_path / input_table is required"
+            )
+        if input_table is not None:
+            in_sid = input_table.current_snapshot_id()
+            ident = getattr(input_table, "identifier", None) or getattr(
+                input_table, "root", None
+            ) or repr(type(input_table).__name__)
+            input_path = f"table:{ident}@{in_sid}"
+            fp = run_fingerprint(input_path, cfg, identity=input_path)
+        else:
+            fp = run_fingerprint(input_path, cfg, spark=spark)
         done = self.committed_buckets(fp)
         todo = sorted(set(range(cfg.n_buckets)) - done)
         if max_buckets is not None:
@@ -365,7 +389,16 @@ class QualityPipeline:
                              failed_rows=prior_failed,
                              snapshot_id=self.table.current_snapshot_id())
 
-        pages = spark.read.parquet(input_path)
+        if input_table is not None:
+            pages = (
+                input_table.read(spark, as_of=in_sid) if in_sid else None
+            )
+            if pages is None:
+                raise ValueError(
+                    f"input table {input_path} has no data commits"
+                )
+        else:
+            pages = spark.read.parquet(input_path)
         pages = with_bucket(pages, cfg.n_buckets)
         if len(todo) < cfg.n_buckets:
             pages = pages.filter(F.col("bucket_id").isin(todo))
