@@ -136,6 +136,7 @@ EXTRA = [
     "browsers_never_buying",
     "domain_doc_stats",
     "corpus_profile_sketch",
+    "url_filter",
 ]
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -393,14 +393,143 @@ FROM filt
 """
 
 
+# ---------------------------------------------------------------------------
+# url_filter — RefinedWeb-style URL filtering (Penedo et al. 2023,
+# arXiv:2306.01116 §G.1): the FIRST stage of a CC pipeline, run before
+# any content is fetched/extracted, so at 10^12 documents it prunes on
+# a few hundred url bytes per row instead of page bytes. Three
+# published signal families, restated over a deterministic synthetic
+# URL (derived from doc_id/source the same way dedup_url derives its
+# urls — the documents fixture carries no url column):
+#   - blocklisted domains (their curated blocklist; here a fixed
+#     2-entry stand-in matched by registered-name prefix),
+#   - soft-word scoring over the url string (their weighted word
+#     lists; here unit weights, flag at >= 2 hits),
+#   - structural heuristics: over-long urls and digit-heavy hosts.
+# Scale shape: scan -> narrow per-row projection, zero exchanges, no
+# UDF; identical CASE/instr/length expressions on the DuckDB side.
+# ---------------------------------------------------------------------------
+
+URL_BLOCK_DOMAINS = ("badsite", "spamfarm")  # registered-name prefixes
+URL_SOFT_WORDS = ("casino", "viagra", "offers", "warez")
+URL_SOFT_FLAG_AT = 2      # flag a url carrying >= 2 distinct soft words
+URL_MAX_LEN = 120         # chars; RefinedWeb drops absurdly long urls
+URL_MAX_HOST_DIGIT_FRAC = 0.2
+
+
+def _url_parts():
+    """(host_expr_sql, path_expr_sql) — the deterministic synthetic
+    URL, written once as SQL text and reused verbatim by both engines
+    (Spark via F.expr), so the derivation cannot drift."""
+    host = (
+        "CASE WHEN doc_id % 7 = 0 THEN 'badsite' || CAST(doc_id % 3 AS "
+        "STRING) || '.com' "
+        "WHEN doc_id % 11 = 0 THEN source || '-' || CAST(doc_id % 1000 "
+        "AS STRING) || '-' || CAST(doc_id % 997 AS STRING) || '.biz' "
+        "ELSE source || '.example.com' END"
+    )
+    path = (
+        "'/p/' || CAST(doc_id % 50 AS STRING) || "
+        "CASE WHEN doc_id % 13 = 0 THEN '/casino-viagra-offers' ELSE '' "
+        "END || "
+        "CASE WHEN doc_id % 17 = 0 THEN repeat('/verylongpathsegment', 8) "
+        "ELSE '' END"
+    )
+    return host, path
+
+
+def _url_filter_sql_exprs() -> dict[str, str]:
+    """The rule expressions as SQL text over columns (url, host) —
+    shared verbatim between the Spark plan and the DuckDB oracle."""
+    blocked = " OR ".join(
+        f"host LIKE '{d}%'" for d in URL_BLOCK_DOMAINS
+    )
+    score = " + ".join(
+        f"CASE WHEN instr(url, '{w}') > 0 THEN 1 ELSE 0 END"
+        for w in URL_SOFT_WORDS
+    )
+    # translate, not regexp_replace: DuckDB's regexp_replace rewrites
+    # only the FIRST match without the 'g' flag Spark has no slot for —
+    # translate is whole-string in both engines (and cheaper: char
+    # table, no regex)
+    digit_frac = (
+        "CAST(length(host) - length(translate(host, '0123456789', '')) "
+        "AS DOUBLE) / CAST(length(host) AS DOUBLE)"
+    )
+    return {
+        "domain_blocked": f"({blocked})",
+        "url_score": f"CAST({score} AS BIGINT)",
+        "too_long": f"(length(url) > {URL_MAX_LEN})",
+        "digit_heavy": f"({digit_frac} > {URL_MAX_HOST_DIGIT_FRAC})",
+    }
+
+
+def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    host, path = _url_parts()
+    e = _url_filter_sql_exprs()
+    # no spread(): this is a per-row decision over two tiny columns —
+    # the scan's own parallelism is enough even at test scale, and the
+    # query's contract is ZERO exchanges (pinned in tests/test_gopher)
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .withColumn("host", F.expr(host))
+        .withColumn("url", F.concat(F.lit("https://"), F.col("host"),
+                                    F.expr(path)))
+    )
+    d = (
+        d.withColumn("domain_blocked", F.expr(e["domain_blocked"]))
+        .withColumn("url_score", F.expr(e["url_score"]))
+        .withColumn("too_long", F.expr(e["too_long"]))
+        .withColumn("digit_heavy", F.expr(e["digit_heavy"]))
+    )
+    keep = ~(
+        F.col("domain_blocked")
+        | (F.col("url_score") >= URL_SOFT_FLAG_AT)
+        | F.col("too_long")
+        | F.col("digit_heavy")
+    )
+    return d.select(
+        "doc_id", "url", "domain_blocked", "url_score", "too_long",
+        "digit_heavy", keep.alias("keep"),
+    )
+
+
+def sql_url_filter() -> str:
+    host, path = _url_parts()
+    e = _url_filter_sql_exprs()
+    return f"""
+WITH u AS (
+  SELECT doc_id, {host} AS host FROM documents
+),
+full_u AS (
+  SELECT doc_id, host, 'https://' || host || {path} AS url FROM u
+),
+scored AS (
+  SELECT doc_id, url,
+         {e['domain_blocked']} AS domain_blocked,
+         {e['url_score']} AS url_score,
+         {e['too_long']} AS too_long,
+         {e['digit_heavy']} AS digit_heavy
+  FROM full_u
+)
+SELECT doc_id, url, domain_blocked, url_score, too_long, digit_heavy,
+       NOT (domain_blocked OR url_score >= {URL_SOFT_FLAG_AT}
+            OR too_long OR digit_heavy) AS keep
+FROM scored
+"""
+
+
 QUERIES = {
     "gopher_repetition": q_gopher_repetition,
     "gopher_quality_docs": q_gopher_quality,
     "c4_line_filter": q_c4_line_filter,
+    "url_filter": q_url_filter,
 }
 
 ORACLES = {
     "gopher_repetition": SQL_GOPHER_REPETITION,
     "gopher_quality_docs": SQL_GOPHER_QUALITY,
     "c4_line_filter": SQL_C4_LINE_FILTER,
+    "url_filter": sql_url_filter(),
 }

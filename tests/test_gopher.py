@@ -121,3 +121,58 @@ def test_gopher_quality_reason_precedence(spark):
             assert r.drop_reason == "gopher:word_count" and not r.keep
         if r.keep:
             assert r.drop_reason is None
+
+
+def test_url_filter_hand_computed(spark):
+    """Pin each rule family on constructed doc_ids: 7k -> blocklisted
+    domain, 11k (not 7k) -> digit-heavy .biz host, 13k -> soft-word
+    path (3 distinct soft words >= flag-at 2), 17k -> over-long url,
+    and a plain id that keeps."""
+    from curator_spark.queries.gopherq import q_url_filter
+
+    rows = {
+        r.doc_id: r
+        for r in q_url_filter(spark, "/root/testdata/sf0.001").collect()
+    }
+
+    blocked = next(r for i, r in rows.items() if i % 7 == 0)
+    assert blocked.domain_blocked and not blocked.keep
+    assert blocked.url.startswith("https://badsite")
+
+    softy = next(
+        r for i, r in rows.items()
+        if i % 13 == 0 and i % 7 and i % 11 and i % 17
+    )
+    assert softy.url_score >= 2 and not softy.keep
+    assert "/casino-viagra-offers" in softy.url
+
+    digity = next(
+        r for i, r in rows.items() if i % 11 == 0 and i % 7 and i > 0
+    )
+    assert digity.digit_heavy and not digity.keep
+    assert digity.url.split("/")[2].endswith(".biz")
+
+    longy = next(
+        r for i, r in rows.items()
+        if i % 17 == 0 and i % 7 and i % 11 and i % 13 and i > 0
+    )
+    assert longy.too_long and len(longy.url) > 120 and not longy.keep
+
+    plain = next(
+        r for i, r in rows.items()
+        if i > 0 and i % 7 and i % 11 and i % 13 and i % 17
+    )
+    assert plain.keep and plain.url_score < 2 and not plain.domain_blocked
+
+
+def test_url_filter_zero_exchange_plan(spark):
+    """First-stage URL pruning must stay scan -> narrow projection:
+    at 10^12 docs any exchange here shuffles the whole crawl frontier
+    for a per-row decision."""
+    from curator_spark.queries.gopherq import q_url_filter
+
+    plan = (
+        q_url_filter(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
