@@ -35,6 +35,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "identifier (routed local|iceberg by "
                         "spark.curator.table.format) and snapshot-pins "
                         "the read — the north rule's Iceberg input face")
+    p.add_argument("--incremental", action="store_true",
+                   help="with --input-format table: process only rows "
+                        "appended since the last complete slice "
+                        "(watermark kept in the output table's commit "
+                        "meta)")
     p.add_argument("--out", required=True, help="output snapshot-table root")
     p.add_argument("--cores", type=int,
                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
@@ -190,14 +195,23 @@ def main(argv: list[str] | None = None) -> int:
         from curator_spark.pipeline.catalog import open_table
 
         input_table = open_table(args.input, spark=spark)
+    elif args.incremental:
+        raise SystemExit("--incremental requires --input-format table")
     try:
-        res = pipe.run(
-            spark,
-            args.input if input_table is None else None,
-            max_buckets=args.max_buckets,
-            from_html=not args.from_text,
-            input_table=input_table,
-        )
+        if args.incremental:
+            res = pipe.run_incremental(
+                spark, input_table,
+                max_buckets=args.max_buckets,
+                from_html=not args.from_text,
+            )
+        else:
+            res = pipe.run(
+                spark,
+                args.input if input_table is None else None,
+                max_buckets=args.max_buckets,
+                from_html=not args.from_text,
+                input_table=input_table,
+            )
     except FailedRowsError as e:
         # exit 3 is RESERVED for the strictness contract (failed rows
         # under require_all_rows); any other failure propagates as a

@@ -57,6 +57,16 @@ OUT_COLS = [
 ]
 
 
+def _table_ident(table: CuratedTable) -> str:
+    """Stable identity string for an input table (Iceberg identifier
+    or local store root)."""
+    return (
+        getattr(table, "identifier", None)
+        or getattr(table, "root", None)
+        or type(table).__name__
+    )
+
+
 def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
     return df.withColumn(
         "bucket_id", F.pmod(F.xxhash64("url"), F.lit(n_buckets)).cast("int")
@@ -357,13 +367,123 @@ class QualityPipeline:
             )
         if input_table is not None:
             in_sid = input_table.current_snapshot_id()
-            ident = getattr(input_table, "identifier", None) or getattr(
-                input_table, "root", None
-            ) or repr(type(input_table).__name__)
+            ident = _table_ident(input_table)
             input_path = f"table:{ident}@{in_sid}"
             fp = run_fingerprint(input_path, cfg, identity=input_path)
+
+            def pages_fn() -> DataFrame:
+                pages = (
+                    input_table.read(spark, as_of=in_sid) if in_sid else None
+                )
+                if pages is None:
+                    raise ValueError(
+                        f"input table {input_path} has no data commits"
+                    )
+                return pages
         else:
             fp = run_fingerprint(input_path, cfg, spark=spark)
+            path = input_path
+
+            def pages_fn() -> DataFrame:
+                return spark.read.parquet(path)
+
+        return self._execute(
+            spark, fp, pages_fn, input_path, max_buckets, from_html, {}
+        )
+
+    def run_incremental(
+        self,
+        spark: SparkSession,
+        input_table: CuratedTable,
+        max_buckets: int | None = None,
+        from_html: bool = True,
+    ) -> RunResult:
+        """Process ONLY the rows appended to `input_table` since the
+        last COMPLETE incremental slice — the growing-crawl face.
+
+        `run(input_table=...)` reprocesses the whole table whenever
+        the snapshot changes (correct, but at 10^12 docs a crawl that
+        appends 1% must not pay 100%). This consumer instead keeps a
+        watermark IN THE OUTPUT TABLE's commit meta (`input_ident` /
+        `input_since` / `input_to`): each call reads the append slice
+        `(watermark, current]` via `read_incremental` (compaction
+        `replace` snapshots are skipped; delete/overwrite snapshots
+        raise — appends-only is no longer faithful, run a full
+        `run(input_table=...)` instead), processes it through the
+        normal bucketed plan, and commits it under a fingerprint of
+        the SLICE (`table:<ident>@<since>..<to>`), so a killed slice
+        resumes its remaining buckets exactly like any run. The
+        watermark only advances once a slice's buckets are ALL
+        committed — discovery walks the newest matching commit and
+        resumes an incomplete slice (pinned to its recorded `to`)
+        before opening a new one, so a crash can never skip rows.
+        No separate state store: the watermark lives in the same
+        atomically-committed manifest as the data it describes.
+
+        Incremental lineage is linear per input table; interleaving
+        `run()` commits is harmless (they carry no `input_ident` and
+        are ignored by the walk)."""
+        cfg = self.cfg
+        ident = _table_ident(input_table)
+        since, to_pin = self._incremental_slice(ident)
+        to = to_pin if to_pin is not None else (
+            input_table.current_snapshot_id()
+        )
+        if to == since:
+            return RunResult(
+                fingerprint="", cached=True,
+                snapshot_id=self.table.current_snapshot_id(),
+            )
+        sl = input_table.read_incremental(spark, since, as_of=to)
+        if sl is None:
+            # window holds only skipped (replace/compaction) snapshots
+            # or no matching appends: nothing to do. The watermark is
+            # NOT advanced (that requires a committed slice); repeat
+            # calls re-walk metadata only — no data is read.
+            return RunResult(
+                fingerprint="", cached=True,
+                snapshot_id=self.table.current_snapshot_id(),
+            )
+        desc = f"table:{ident}@{since}..{to}"
+        fp = run_fingerprint(desc, cfg, identity=desc)
+        return self._execute(
+            spark, fp, lambda: sl, desc, max_buckets, from_html,
+            {"input_ident": ident, "input_since": since, "input_to": to},
+        )
+
+    def _incremental_slice(self, ident: str) -> tuple[int, int | None]:
+        """(since, to_pin): resume the newest INCOMPLETE slice for
+        `ident` (pinned to its recorded `to` so the fingerprint — and
+        with it bucket resume — matches), else open a new slice from
+        the newest complete slice's `to`; (0, None) bootstraps from
+        the table's beginning."""
+        for c in reversed(self.table.active_commits()):
+            m = c["meta"]
+            if m.get("input_ident") != ident:
+                continue
+            try:
+                n_b = json.loads(m["config"]).get(
+                    "n_buckets", self.cfg.n_buckets
+                )
+            except (KeyError, ValueError):
+                n_b = self.cfg.n_buckets
+            done = self.committed_buckets(m["run_fingerprint"])
+            if len(done) >= n_b:
+                return m["input_to"], None
+            return m["input_since"], m["input_to"]
+        return 0, None
+
+    def _execute(
+        self,
+        spark: SparkSession,
+        fp: str,
+        pages_fn,
+        input_path: str,
+        max_buckets: int | None,
+        from_html: bool,
+        extra_meta: dict,
+    ) -> RunResult:
+        cfg = self.cfg
         done = self.committed_buckets(fp)
         todo = sorted(set(range(cfg.n_buckets)) - done)
         if max_buckets is not None:
@@ -389,17 +509,7 @@ class QualityPipeline:
                              failed_rows=prior_failed,
                              snapshot_id=self.table.current_snapshot_id())
 
-        if input_table is not None:
-            pages = (
-                input_table.read(spark, as_of=in_sid) if in_sid else None
-            )
-            if pages is None:
-                raise ValueError(
-                    f"input table {input_path} has no data commits"
-                )
-        else:
-            pages = spark.read.parquet(input_path)
-        pages = with_bucket(pages, cfg.n_buckets)
+        pages = with_bucket(pages_fn(), cfg.n_buckets)
         if len(todo) < cfg.n_buckets:
             pages = pages.filter(F.col("bucket_id").isin(todo))
         if self.dedup_index is not None and self.dedup_index.has_keys():
@@ -489,6 +599,7 @@ class QualityPipeline:
             "buckets": buckets_meta,
             "failed_rows": n_failed,
             "committed_at": datetime.now(timezone.utc).isoformat(),
+            **extra_meta,
         }
         # fsutil, not os.walk: on a shared-storage stage dir os.walk
         # yields nothing, which would route EVERY run into the

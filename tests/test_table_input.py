@@ -88,6 +88,72 @@ def test_exactly_one_input_required(spark, pages_table, cfg, tmp_path):
         pipe.run(spark, input_table=empty)
 
 
+def test_incremental_processes_only_appends(
+    spark, pages_table, cfg, tmp_path
+):
+    """Bootstrap processes the whole table; after an append the next
+    call pays for ONLY the new rows (the growing-crawl contract), and
+    with nothing new it is a metadata-only no-op."""
+    from curator_spark.engine.synth import generate_pages
+
+    pipe = QualityPipeline(str(tmp_path / "out"), cfg)
+    r1 = pipe.run_incremental(spark, pages_table)
+    assert not r1.cached and r1.docs_seen == 1200
+
+    # no new data: no-op, nothing reprocessed
+    r2 = pipe.run_incremental(spark, pages_table)
+    assert r2.cached
+
+    extra = generate_pages(spark, 60).withColumn(
+        "url", F.concat(F.lit("https://c1.example/"), F.col("url"))
+    )
+    pages_table.append(extra, {"crawl": "c1"})
+    r3 = pipe.run_incremental(spark, pages_table)
+    assert not r3.cached
+    assert r3.docs_seen == 60  # ONLY the appended slice
+    assert r3.fingerprint != r1.fingerprint
+
+    # the output table accumulates both slices, rows never duplicated
+    out = pipe.table.read(spark)
+    assert out.count() == 1260
+    assert out.select("url").distinct().count() == 1260
+
+
+def test_incremental_killed_slice_resumes(spark, pages_table, cfg, tmp_path):
+    """A slice killed mid-way (max_buckets) must RESUME — the
+    watermark may only advance once every bucket of the slice is
+    committed, else a crash would silently skip rows."""
+    from curator_spark.engine.synth import generate_pages
+
+    pipe = QualityPipeline(str(tmp_path / "out"), cfg)
+    pipe.run_incremental(spark, pages_table)
+
+    extra = generate_pages(spark, 80).withColumn(
+        "url", F.concat(F.lit("https://c1.example/"), F.col("url"))
+    )
+    pages_table.append(extra, {"crawl": "c1"})
+
+    part = pipe.run_incremental(spark, pages_table, max_buckets=5)
+    assert len(part.buckets_processed) == 5
+
+    # a FURTHER append lands while the slice is incomplete: the next
+    # call must finish the pinned slice, not jump to a wider one
+    extra2 = generate_pages(spark, 40).withColumn(
+        "url", F.concat(F.lit("https://c2.example/"), F.col("url"))
+    )
+    pages_table.append(extra2, {"crawl": "c2"})
+
+    rest = pipe.run_incremental(spark, pages_table)
+    assert rest.fingerprint == part.fingerprint  # same slice resumed
+    assert not set(rest.buckets_processed) & set(part.buckets_processed)
+
+    # now the c2 slice
+    r_c2 = pipe.run_incremental(spark, pages_table)
+    assert not r_c2.cached and r_c2.docs_seen == 40
+    assert pipe.table.read(spark).count() == 1200 + 80 + 40
+    assert pipe.run_incremental(spark, pages_table).cached
+
+
 def test_cli_table_input(spark, pages_table, tmp_path, capsys):
     import json
 
@@ -101,3 +167,17 @@ def test_cli_table_input(spark, pages_table, tmp_path, capsys):
     assert rc == 0
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["docs_seen"] == 1200 and not res["cached"]
+
+    # incremental face (fresh output table: run() commits don't carry
+    # the watermark, so incremental lineage starts from its own
+    # bootstrap): first call processes everything, second is a
+    # metadata-only no-op
+    out2 = str(tmp_path / "out_cli_inc")
+    for expect_cached in (False, True):
+        rc = cli.main([
+            "--input", pages_table.root, "--input-format", "table",
+            "--incremental", "--out", out2, "--cores", "8",
+        ])
+        assert rc == 0
+        res2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert res2["cached"] is expect_cached
