@@ -99,3 +99,46 @@ def test_index_free_run_unchanged_and_cached_rerun(spark, tmp_path, crawls):
     r2 = with_idx.run(spark, c1)
     assert r2.cached
     assert idx.read_keys(spark).count() == n_keys
+
+
+def test_incremental_slice_with_dedup_index(spark, tmp_path, crawls):
+    """Composition: incremental table consumption × cross-run dedup.
+    A re-crawl APPENDED to the input table is consumed as a slice, and
+    its previously-seen urls skip extraction+scoring (dup_of_history)
+    — together, a growing crawl pays only (new slice) ∩ (new urls)."""
+    from curator_spark.pipeline.snapshot import SnapshotTable
+
+    c1, c2 = crawls
+    cfg = QualityConfig()
+    idx = DedupIndex(str(tmp_path / "idx"), key_expr="url")
+    tab = SnapshotTable(str(tmp_path / "pages_tab"))
+    tab.append(spark.read.parquet(c1), {"crawl": "c1"})
+
+    pipe = QualityPipeline(str(tmp_path / "out"), cfg,
+                           dedup_index=idx, update_dedup_index=True)
+    r1 = pipe.run_incremental(spark, tab)
+    assert not r1.cached and r1.docs_seen >= 390
+
+    # append the re-crawl: crawl2 = crawl1's 400 urls + 200 fresh
+    tab.append(spark.read.parquet(c2), {"crawl": "c2"})
+    r2 = pipe.run_incremental(spark, tab)
+    assert not r2.cached
+    assert r2.docs_seen >= 590  # the 600-row slice only, never 1000
+
+    out = pipe.read_output(spark, r2.fingerprint)
+    dup = out.filter(F.col("drop_reason") == "dup_of_history")
+    # every crawl1 url that produced an output row in slice 1 is a
+    # history dup in slice 2
+    n_indexed_overlap = (
+        out.join(
+            pipe.read_output(spark, r1.fingerprint).select("url"), "url"
+        ).count()
+    )
+    assert dup.count() == n_indexed_overlap >= 390
+    # fresh urls really scored (not all dropped as dups)
+    fresh_kept = out.filter(
+        F.col("keep") & ~F.col("url").isin(
+            [r["url"] for r in dup.select("url").collect()]
+        )
+    )
+    assert fresh_kept.count() > 0
