@@ -451,6 +451,52 @@ class QualityPipeline:
             {"input_ident": ident, "input_since": since, "input_to": to},
         )
 
+    def incremental_state(self, input_table) -> list[dict]:
+        """Chronological slice lineage for an input table (or its
+        identity string): one entry per slice with {since, to,
+        fingerprint, buckets_done, n_buckets, docs_seen, complete} —
+        the operator-facing view of the watermark (the newest
+        `complete` entry's `to`). Metadata-only: no data is read."""
+        ident = (
+            input_table if isinstance(input_table, str)
+            else _table_ident(input_table)
+        )
+        groups: dict[str, dict] = {}
+        order: list[str] = []
+        for c in self.table.active_commits():
+            m = c["meta"]
+            if m.get("input_ident") != ident:
+                continue
+            fp = m["run_fingerprint"]
+            g = groups.get(fp)
+            if g is None:
+                try:
+                    n_b = json.loads(m["config"]).get(
+                        "n_buckets", self.cfg.n_buckets
+                    )
+                except (KeyError, ValueError):
+                    n_b = self.cfg.n_buckets
+                g = groups[fp] = {
+                    "since": m["input_since"], "to": m["input_to"],
+                    "fingerprint": fp, "n_buckets": n_b,
+                    "_buckets": set(), "docs_seen": 0,
+                }
+                order.append(fp)
+            g["_buckets"].update(int(b) for b in m.get("buckets", {}))
+            g["docs_seen"] += sum(
+                bm["docs_seen"] for bm in m.get("buckets", {}).values()
+            )
+        out = []
+        for fp in order:
+            g = groups[fp]
+            done = g.pop("_buckets")
+            out.append({
+                **g,
+                "buckets_done": len(done),
+                "complete": len(done) >= g["n_buckets"],
+            })
+        return out
+
     def _incremental_slice(self, ident: str) -> tuple[int, int | None]:
         """(since, to_pin): resume the newest INCOMPLETE slice for
         `ident` (pinned to its recorded `to` so the fingerprint — and

@@ -136,6 +136,12 @@ def test_incremental_killed_slice_resumes(spark, pages_table, cfg, tmp_path):
     part = pipe.run_incremental(spark, pages_table, max_buckets=5)
     assert len(part.buckets_processed) == 5
 
+    # mid-slice, the lineage view shows the incomplete slice
+    st = pipe.incremental_state(pages_table)
+    assert len(st) == 2 and st[0]["complete"] and not st[1]["complete"]
+    assert st[1]["fingerprint"] == part.fingerprint
+    assert st[1]["buckets_done"] == 5
+
     # a FURTHER append lands while the slice is incomplete: the next
     # call must finish the pinned slice, not jump to a wider one
     extra2 = generate_pages(spark, 40).withColumn(
@@ -152,6 +158,12 @@ def test_incremental_killed_slice_resumes(spark, pages_table, cfg, tmp_path):
     assert not r_c2.cached and r_c2.docs_seen == 40
     assert pipe.table.read(spark).count() == 1200 + 80 + 40
     assert pipe.run_incremental(spark, pages_table).cached
+
+    st = pipe.incremental_state(pages_table)
+    assert [s["complete"] for s in st] == [True, True, True]
+    assert st[1]["docs_seen"] == 80 and st[2]["docs_seen"] == 40
+    # watermark chains: each slice starts where the previous ended
+    assert st[1]["since"] == st[0]["to"] and st[2]["since"] == st[1]["to"]
 
 
 def test_cli_table_input(spark, pages_table, tmp_path, capsys):
