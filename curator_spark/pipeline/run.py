@@ -422,7 +422,18 @@ class QualityPipeline:
 
         Incremental lineage is linear per input table; interleaving
         `run()` commits is harmless (they carry no `input_ident` and
-        are ignored by the walk)."""
+        are ignored by the walk).
+
+        Caveat — config changes mid-slice: the slice fingerprint
+        includes the config, so changing it while a slice is
+        incomplete reprocesses that slice fully under the new config
+        while the old config's partial commits remain in the table
+        (they are per-fingerprint outputs, exactly like an abandoned
+        `run()` fingerprint). Cross-slice reads (`table.read()`) then
+        see the overlap twice — scope reads by fingerprint, or clear
+        the abandoned fingerprint with
+        `delete_where(predicate=...run_fingerprint...)`, or change
+        config only at slice boundaries."""
         cfg = self.cfg
         ident = _table_ident(input_table)
         since, to_pin = self._incremental_slice(ident)
