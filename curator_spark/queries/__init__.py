@@ -137,6 +137,7 @@ EXTRA = [
     "domain_doc_stats",
     "corpus_profile_sketch",
     "url_filter",
+    "fineweb_filters",
 ]
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -520,11 +520,185 @@ FROM scored
 """
 
 
+# ---------------------------------------------------------------------------
+# fineweb_filters — the FineWeb custom quality filters (Penedo et al.
+# 2024, arXiv:2406.17557 §3.6), the rule set developed ON TOP of
+# Gopher+C4 by ablation on Common Crawl; completes the published-rule
+# family (Gopher shape/repetition, C4 lines, RefinedWeb urls, FineWeb
+# lines). Three line-level signals, each a drop gate:
+#   - fraction of lines ending in terminal punctuation <= 0.12,
+#   - fraction of characters in DUPLICATED lines (2nd+ occurrences of
+#     an identical line, within the doc) >= 0.10,
+#   - fraction of lines shorter than 30 characters >= 0.67.
+# The synthetic corpus has no newlines, so — exactly like
+# boilerplate_segments — a deterministic re-lining (non-overlapping
+# FW_LINE_WORDS-word windows) stands in for physical lines; the rule
+# expressions themselves are unit-agnostic.
+#
+# Scale shape: scan -> narrow per-row projection, ZERO exchanges, no
+# UDF. The duplicated-line character mass is a run-length fold over
+# the row's SORTED line array (the gopher_repetition trick at line
+# granularity) — the DuckDB twin unnests and groups per (doc, line):
+# different algorithm, identical values.
+# ---------------------------------------------------------------------------
+
+FW_LINE_WORDS = 10        # stand-in line = 10-word window (no newlines)
+FW_TERMINAL_CHARS = (".", "'", '"', "!", "?")  # FineWeb's stop set
+FW_MIN_PUNCT_LINE_FRAC = 0.12
+FW_MIN_LINE_CHARS = 30
+FW_MAX_SHORT_LINE_FRAC = 0.67
+FW_MAX_DUP_LINE_CHAR_FRAC = 0.10
+
+
+def _fw_lines(ws: Column) -> Column:
+    """Non-overlapping FW_LINE_WORDS-word windows (last may be
+    partial), space-joined — the deterministic stand-in re-lining."""
+    n = F.size(ws)
+    return F.when(
+        n > 0,
+        F.transform(
+            F.sequence(
+                F.lit(1), F.ceil(n / F.lit(float(FW_LINE_WORDS))).cast("int")
+            ),
+            lambda i: F.array_join(
+                F.slice(ws, (i - 1) * FW_LINE_WORDS + 1, FW_LINE_WORDS), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _fw_dup_chars(ls: Column) -> Column:
+    """Characters in duplicated lines — 2nd+ occurrences of an
+    identical line, i.e. sum over lines occurring k>=2 times of
+    (k-1)*len(line).  Run-length fold over the sorted array; equal
+    lines are adjacent after array_sort so one left fold sees every
+    run (greatest(run-1, 0) also zeroes the seed state's empty run)."""
+    sorted_ls = F.array_sort(ls)
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit("").alias("prev"), zero.alias("run"), zero.alias("dup")
+    )
+
+    def close_mass(acc: Column) -> Column:
+        return F.greatest(acc["run"] - 1, zero) * F.length(acc["prev"])
+
+    def merge(acc: Column, x: Column) -> Column:
+        cont = F.struct(
+            x.alias("prev"), (acc["run"] + 1).alias("run"),
+            acc["dup"].alias("dup"),
+        )
+        close = F.struct(
+            x.alias("prev"), F.lit(1).cast("long").alias("run"),
+            (acc["dup"] + close_mass(acc)).alias("dup"),
+        )
+        return F.when(x == acc["prev"], cont).otherwise(close)
+
+    return F.aggregate(
+        sorted_ls, init, merge, lambda acc: acc["dup"] + close_mass(acc)
+    )
+
+
+def _fw_ends_punct(l: Column) -> Column:
+    hit = F.lit(False)
+    for c in FW_TERMINAL_CHARS:
+        hit = hit | F.endswith(l, F.lit(c))
+    return hit
+
+
+def q_fineweb_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    ls = _fw_lines(ts.words(F.col("text")))
+    n = F.size(ls)
+    punct = F.size(F.filter(ls, _fw_ends_punct))
+    short = F.size(F.filter(ls, lambda l: F.length(l) < FW_MIN_LINE_CHARS))
+    total_chars = F.aggregate(
+        ls, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    # single divisions of identical integer counts — bit-identical
+    # across engines unrounded, so `keep` compares the RAW fracs (no
+    # rounding-boundary drift); outputs are rounded per convention
+    punct_frac = F.when(n > 0, punct / n).otherwise(F.lit(0.0))
+    short_frac = F.when(n > 0, short / n).otherwise(F.lit(0.0))
+    dup_frac = F.when(
+        total_chars > 0, _fw_dup_chars(ls) / total_chars
+    ).otherwise(F.lit(0.0))
+    keep = (
+        (punct_frac > FW_MIN_PUNCT_LINE_FRAC)
+        & (short_frac < FW_MAX_SHORT_LINE_FRAC)
+        & (dup_frac < FW_MAX_DUP_LINE_CHAR_FRAC)
+    )
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_lines"),
+        F.round(punct_frac, 6).alias("punct_line_frac"),
+        F.round(short_frac, 6).alias("short_line_frac"),
+        F.round(dup_frac, 6).alias("dup_line_char_frac"),
+        keep.alias("keep"),
+    )
+
+
+def _sql_fw_ends_punct(var: str = "l") -> str:
+    return _sql_or(
+        [
+            f"ends_with({var}, '" + c.replace("'", "''") + "')"
+            for c in FW_TERMINAL_CHARS
+        ]
+    )
+
+
+SQL_FINEWEB_FILTERS = f"""
+WITH w AS (SELECT doc_id, {sql_words('text')} AS ws FROM documents),
+ls AS (
+  SELECT doc_id, unnest(list_transform(
+    range(1, CAST(ceil(len(ws) / {FW_LINE_WORDS}.0) AS INT) + 1),
+    i -> list_aggregate(
+      ws[(i-1)*{FW_LINE_WORDS}+1:(i-1)*{FW_LINE_WORDS}+{FW_LINE_WORDS}],
+      'string_agg', ' '))) AS l
+  FROM w WHERE len(ws) > 0
+),
+per AS (
+  SELECT doc_id, count(*)::BIGINT AS n,
+    sum(CASE WHEN {_sql_fw_ends_punct()} THEN 1 ELSE 0 END)::BIGINT AS punct,
+    sum(CASE WHEN len(l) < {FW_MIN_LINE_CHARS} THEN 1 ELSE 0 END)::BIGINT
+      AS short,
+    sum(len(l))::BIGINT AS total_chars
+  FROM ls GROUP BY doc_id
+),
+dup AS (
+  SELECT doc_id, sum((cnt - 1) * len_l)::BIGINT AS dup_chars FROM (
+    SELECT doc_id, l, count(*) AS cnt, len(l) AS len_l
+    FROM ls GROUP BY doc_id, l
+  ) g WHERE cnt >= 2 GROUP BY doc_id
+),
+scored AS (
+  SELECT d.doc_id,
+    coalesce(per.n, 0) AS n_lines,
+    CASE WHEN per.n > 0 THEN per.punct / per.n ELSE 0.0 END AS punct_frac,
+    CASE WHEN per.n > 0 THEN per.short / per.n ELSE 0.0 END AS short_frac,
+    CASE WHEN per.total_chars > 0
+         THEN coalesce(dup.dup_chars, 0) / per.total_chars
+         ELSE 0.0 END AS dup_frac
+  FROM documents d
+  LEFT JOIN per ON per.doc_id = d.doc_id
+  LEFT JOIN dup ON dup.doc_id = d.doc_id
+)
+SELECT doc_id, n_lines,
+  round(punct_frac, 6) AS punct_line_frac,
+  round(short_frac, 6) AS short_line_frac,
+  round(dup_frac, 6) AS dup_line_char_frac,
+  (punct_frac > {FW_MIN_PUNCT_LINE_FRAC}
+   AND short_frac < {FW_MAX_SHORT_LINE_FRAC}
+   AND dup_frac < {FW_MAX_DUP_LINE_CHAR_FRAC}) AS keep
+FROM scored
+"""
+
+
 QUERIES = {
     "gopher_repetition": q_gopher_repetition,
     "gopher_quality_docs": q_gopher_quality,
     "c4_line_filter": q_c4_line_filter,
     "url_filter": q_url_filter,
+    "fineweb_filters": q_fineweb_filters,
 }
 
 ORACLES = {
@@ -532,4 +706,5 @@ ORACLES = {
     "gopher_quality_docs": SQL_GOPHER_QUALITY,
     "c4_line_filter": SQL_C4_LINE_FILTER,
     "url_filter": sql_url_filter(),
+    "fineweb_filters": SQL_FINEWEB_FILTERS,
 }

@@ -176,3 +176,96 @@ def test_url_filter_zero_exchange_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# fineweb_filters (Penedo et al. 2024, arXiv:2406.17557 §3.6)
+# ---------------------------------------------------------------------------
+
+def _fw_row(spark, text: str):
+    """Run the fineweb per-row expressions on one constructed doc."""
+    from curator_spark.queries import gopherq as g
+
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    ls = g._fw_lines(ts.words(F.col("text")))
+    n = F.size(ls)
+    return df.select(
+        ls.alias("ls"),
+        g._fw_dup_chars(ls).alias("dup"),
+        F.size(F.filter(ls, g._fw_ends_punct)).alias("punct"),
+    ).first()
+
+
+def test_fineweb_relining_windows(spark):
+    # 12 words, FW_LINE_WORDS=10 -> two windows of 10 and 2 words.
+    words = [f"w{i}" for i in range(12)]
+    row = _fw_row(spark, " ".join(words))
+    assert row.ls == [" ".join(words[:10]), " ".join(words[10:])]
+
+
+def test_fineweb_dup_chars_hand_computed(spark):
+    from curator_spark.queries.gopherq import _fw_dup_chars
+
+    # ["ab", "ab", "ab", "cd", "x"]: "ab" runs 3 times -> (3-1)*2 = 4
+    # duplicated chars; "cd"/"x" unique -> 0.
+    df = spark.createDataFrame([(["ab", "ab", "ab", "cd", "x"],)], ["ls"])
+    assert df.select(_fw_dup_chars(F.col("ls")).alias("d")).first().d == 4
+    # no duplicates -> 0; empty array -> 0
+    df2 = spark.createDataFrame([(["a", "b"],), ([],)], "ls array<string>")
+    got = [r.d for r in df2.select(_fw_dup_chars(F.col("ls")).alias("d")).collect()]
+    assert got == [0, 0]
+
+
+def test_fineweb_punct_endings(spark):
+    # terminal set is . ' " ! ? — a line ending in ',' does not count
+    row = _fw_row(spark, "one two three.")
+    assert row.punct == 1
+    row = _fw_row(spark, "one two three,")
+    assert row.punct == 0
+
+
+def test_fineweb_keep_gates(spark):
+    """Each published gate flips keep on a constructed doc."""
+    from curator_spark.queries.gopherq import q_fineweb_filters
+
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    # One window per doc (<=10 words) so fractions are computable by
+    # hand. Doc 0: long line ending in '.' -> keep. Doc 1: no terminal
+    # punctuation -> punct_frac 0 <= 0.12 -> drop. Doc 2: short lines
+    # (every window < 30 chars) -> short_frac 1 >= 0.67 -> drop.
+    # Doc 3: the same 10-word window repeated 3x -> dup_frac ~ 2/3 -> drop.
+    long_line = "alpha beta gamma delta epsilon zeta eta theta iota kappa."
+    w10 = "aa bb cc dd ee ff gg hh ii jj"
+    docs = [
+        (0, long_line),
+        (1, long_line.rstrip(".")),
+        (2, "tiny. line. here."),
+        (3, " ".join([w10] * 3) + "."),
+    ]
+    tmp = tempfile.mkdtemp()
+    pd.DataFrame(docs, columns=["doc_id", "text"]).to_parquet(
+        os.path.join(tmp, "documents.parquet")
+    )
+    rows = {r.doc_id: r for r in q_fineweb_filters(spark, tmp).collect()}
+    assert rows[0].keep
+    assert not rows[1].keep and rows[1].punct_line_frac == 0.0
+    assert not rows[2].keep and rows[2].short_line_frac == 1.0
+    # doc 3: windows = [w10, w10, w10 + "."]? no — 30 words + '.' on the
+    # last word -> windows [w10, w10, "aa ... jj."]; first two identical:
+    # dup chars = 29, total = 29*3 + 1 = 88
+    assert not rows[3].keep
+    assert rows[3].dup_line_char_frac == round(29 / 88, 6)
+
+
+def test_fineweb_zero_exchange_plan(spark):
+    from curator_spark.queries.gopherq import q_fineweb_filters
+
+    plan = (
+        q_fineweb_filters(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan, plan
