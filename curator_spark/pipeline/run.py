@@ -509,26 +509,33 @@ class QualityPipeline:
         return out
 
     def _incremental_slice(self, ident: str) -> tuple[int, int | None]:
-        """(since, to_pin): resume the newest INCOMPLETE slice for
-        `ident` (pinned to its recorded `to` so the fingerprint — and
-        with it bucket resume — matches), else open a new slice from
-        the newest complete slice's `to`; (0, None) bootstraps from
-        the table's beginning."""
-        for c in reversed(self.table.active_commits()):
-            m = c["meta"]
-            if m.get("input_ident") != ident:
-                continue
-            try:
-                n_b = json.loads(m["config"]).get(
-                    "n_buckets", self.cfg.n_buckets
-                )
-            except (KeyError, ValueError):
-                n_b = self.cfg.n_buckets
-            done = self.committed_buckets(m["run_fingerprint"])
-            if len(done) >= n_b:
-                return m["input_to"], None
-            return m["input_since"], m["input_to"]
-        return 0, None
+        """(since, to_pin): resume the newest incomplete slice whose
+        window lies beyond the watermark (pinned to its recorded `to`
+        so the fingerprint — and with it bucket resume — matches),
+        else open a new slice from the watermark; (0, None) bootstraps
+        from the table's beginning.
+
+        The watermark is the furthest COMPLETE slice group's `to` —
+        computed over slice GROUPS, never from raw commit order:
+        `compact(fp)` re-appends an old slice's merged meta as the
+        NEWEST commit, so a newest-matching-commit walk would hand the
+        watermark to whichever slice was compacted last, and the next
+        append would open a window overlapping already-processed
+        slices (duplicating their rows — pinned in
+        tests/test_table_input.py). Incomplete groups at or below the
+        watermark are abandoned mid-slice config changes (see the
+        caveat above) — never resumed."""
+        groups = self.incremental_state(ident)
+        watermark = max(
+            (g["to"] for g in groups if g["complete"]), default=0
+        )
+        pending = [
+            g for g in groups if not g["complete"] and g["to"] > watermark
+        ]
+        if pending:
+            g = pending[-1]  # newest opener (groups are chronological)
+            return g["since"], g["to"]
+        return watermark, None
 
     def _execute(
         self,

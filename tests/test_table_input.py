@@ -193,3 +193,43 @@ def test_cli_table_input(spark, pages_table, tmp_path, capsys):
         assert rc == 0
         res2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert res2["cached"] is expect_cached
+
+
+def test_incremental_watermark_survives_output_compaction(
+    spark, pages_table, cfg, tmp_path
+):
+    """Compacting an OLD slice's fingerprint re-appends its merged
+    meta as the newest commit. Slice discovery must take the watermark
+    from the furthest COMPLETE slice group — not from commit order —
+    else the next append opens a window overlapping already-processed
+    slices and duplicates their rows."""
+    from curator_spark.engine.synth import generate_pages
+
+    pipe = QualityPipeline(str(tmp_path / "out"), cfg)
+    # slice A in two commits (so compaction has something to merge)
+    r1 = pipe.run_incremental(spark, pages_table, max_buckets=5)
+    pipe.run_incremental(spark, pages_table)
+
+    extra = generate_pages(spark, 60).withColumn(
+        "url", F.concat(F.lit("https://c1.example/"), F.col("url"))
+    )
+    pages_table.append(extra, {"crawl": "c1"})
+    pipe.run_incremental(spark, pages_table)  # slice B complete
+
+    # compact slice A: its meta becomes the NEWEST output commit
+    assert pipe.compact(spark, r1.fingerprint) is not None
+    assert pipe.run_incremental(spark, pages_table).cached  # still no-op
+
+    extra2 = generate_pages(spark, 40).withColumn(
+        "url", F.concat(F.lit("https://c2.example/"), F.col("url"))
+    )
+    pages_table.append(extra2, {"crawl": "c2"})
+    r3 = pipe.run_incremental(spark, pages_table)
+    assert r3.docs_seen == 40  # ONLY the c2 slice — B must not re-run
+    out = pipe.table.read(spark)
+    assert out.count() == 1300
+    assert out.select("url").distinct().count() == 1300
+    # lineage stays chained despite the compaction reordering commits
+    st = pipe.incremental_state(pages_table)
+    done = sorted((s["since"], s["to"]) for s in st if s["complete"])
+    assert [a for a, _ in done[1:]] == [b for _, b in done[:-1]]
