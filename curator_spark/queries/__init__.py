@@ -138,6 +138,7 @@ EXTRA = [
     "corpus_profile_sketch",
     "url_filter",
     "fineweb_filters",
+    "substring_dup_scrub",
 ]
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -914,6 +914,159 @@ GROUP BY g.doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# substring_dup_scrub — the ExactSubstr REMOVAL step (Lee et al. 2021,
+# arXiv:2107.06499 §4.1: "deduplicate by removing all but one of the
+# duplicated substrings"): substring_dup_spans finds the duplicated
+# windows; this query actually rewrites the corpus. Keep-one-copy is
+# made deterministic with a canonical-keeper rule — for each
+# cross-doc-duplicated window hash, the doc with MIN doc_id keeps its
+# occurrence(s); every other doc has that window's char span removed.
+# Overlapping flagged windows union into spans via a cursor fold over
+# the doc's sorted flagged start offsets (per-row, bounded by doc
+# length); the DuckDB twin merges the same spans relationally
+# (gaps-and-islands windows) — different algorithm, identical bytes.
+# Scale shape: the spans pipeline's two narrow md5 shuffles, plus one
+# per-doc collect of flagged starts and a join back to text; docs with
+# no flagged window never enter the fold (left join, coalesce to the
+# original text).
+# ---------------------------------------------------------------------------
+
+
+def q_substring_dup_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(t(spark, sf_dir, "documents"), spark)
+    wins = F.when(
+        F.length("text") >= SUB_GRAM,
+        F.expr(
+            f"transform(sequence(1, CAST(floor((length(text) - {SUB_GRAM})"
+            f" / {float(SUB_STRIDE)}) AS INT) + 1),"
+            f" i -> struct(i AS i, md5(CAST(substring(text,"
+            f" (i-1)*{SUB_STRIDE}+1, {SUB_GRAM}) AS BINARY)) AS h))"
+        ),
+    )  # no otherwise: explode() skips the NULL array of a short doc
+    grams = d.select("doc_id", F.explode(wins).alias("w")).select(
+        "doc_id", F.col("w.i").alias("i"), F.col("w.h").alias("h")
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(
+            F.countDistinct("doc_id").alias("nd"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .where(F.col("nd") >= 2)
+    )
+    flagged = (
+        grams.join(dup, "h")
+        .where(F.col("doc_id") != F.col("keeper"))
+        .select(
+            "doc_id",
+            ((F.col("i") - 1) * SUB_STRIDE + 1).alias("s"),
+        )
+    )
+    spans = flagged.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("s")).alias("starts"),
+        F.count("*").cast("long").alias("n_dup"),
+    )
+
+    init = F.struct(F.lit(1).alias("cur"), F.lit("").alias("out"))
+
+    def merge(acc: Column, st: Column) -> Column:
+        piece = F.substr(
+            F.col("text"), acc["cur"], F.greatest(st - acc["cur"], F.lit(0))
+        )
+        return F.struct(
+            F.greatest(acc["cur"], st + F.lit(SUB_GRAM)).alias("cur"),
+            F.concat(acc["out"], piece).alias("out"),
+        )
+
+    def finish(acc: Column) -> Column:
+        return F.concat(
+            acc["out"],
+            F.substr(
+                F.col("text"), acc["cur"],
+                F.greatest(F.length("text") - acc["cur"] + 1, F.lit(0)),
+            ),
+        )
+
+    scrubbed = F.when(
+        F.col("starts").isNull(), F.col("text")
+    ).otherwise(F.aggregate(F.col("starts"), init, merge, finish))
+    return d.join(spans, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup_windows"),
+        (F.length("text") - F.length(scrubbed)).cast("long").alias(
+            "removed_chars"
+        ),
+        scrubbed.alias("scrubbed_text"),
+    )
+
+
+SQL_SUBSTRING_DUP_SCRUB = f"""
+WITH grams AS (
+  SELECT doc_id, i,
+    md5(substr(text, (i-1)*{SUB_STRIDE}+1, {SUB_GRAM})) AS h
+  FROM documents,
+    unnest(range(1, CAST(floor((length(text) - {SUB_GRAM})
+      / {float(SUB_STRIDE)}) AS INT) + 2)) AS t(i)
+  WHERE length(text) >= {SUB_GRAM}
+),
+dup AS (
+  SELECT h, min(doc_id) AS keeper FROM grams
+  GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+),
+flagged AS (
+  SELECT g.doc_id, (g.i-1)*{SUB_STRIDE}+1 AS s
+  FROM grams g JOIN dup d USING (h)
+  WHERE g.doc_id <> d.keeper
+),
+m AS (
+  SELECT doc_id, s,
+    max(s + {SUB_GRAM}) OVER (PARTITION BY doc_id ORDER BY s
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS end_before
+  FROM flagged
+),
+isl AS (
+  SELECT doc_id, s,
+    sum(CASE WHEN end_before IS NULL OR s >= end_before THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY s) AS island
+  FROM m
+),
+islands AS (
+  SELECT doc_id, island, min(s) AS is_start,
+         max(s) + {SUB_GRAM} - 1 AS is_end
+  FROM isl GROUP BY doc_id, island
+),
+gaps AS (
+  SELECT doc_id, island, is_start,
+    lag(is_end) OVER (PARTITION BY doc_id ORDER BY is_start) AS prev_end
+  FROM islands
+),
+pieces AS (
+  SELECT g.doc_id, g.island AS ord,
+    substr(d.text, coalesce(g.prev_end, 0) + 1,
+           g.is_start - coalesce(g.prev_end, 0) - 1) AS piece
+  FROM gaps g JOIN documents d USING (doc_id)
+  UNION ALL
+  SELECT le.doc_id, 2147483647 AS ord, substr(d.text, le.last_end + 1) AS piece
+  FROM (SELECT doc_id, max(is_end) AS last_end FROM islands GROUP BY doc_id) le
+  JOIN documents d USING (doc_id)
+),
+scrub AS (
+  SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS scrubbed
+  FROM pieces GROUP BY doc_id
+),
+nd AS (SELECT doc_id, count(*)::BIGINT AS n_dup FROM flagged GROUP BY doc_id)
+SELECT d.doc_id,
+  coalesce(nd.n_dup, 0)::BIGINT AS n_dup_windows,
+  (length(d.text) - length(coalesce(s.scrubbed, d.text)))::BIGINT
+    AS removed_chars,
+  coalesce(s.scrubbed, d.text) AS scrubbed_text
+FROM documents d
+LEFT JOIN scrub s USING (doc_id)
+LEFT JOIN nd USING (doc_id)
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_keep_list": q_dedup_keep_list,
@@ -926,6 +1079,7 @@ QUERIES = {
     "boilerplate_segments": q_boilerplate_segments,
     "boilerplate_scrub": q_boilerplate_scrub,
     "substring_dup_spans": q_substring_dup_spans,
+    "substring_dup_scrub": q_substring_dup_scrub,
 }
 
 ORACLES = {
@@ -940,4 +1094,5 @@ ORACLES = {
     "boilerplate_segments": SQL_BOILERPLATE,
     "boilerplate_scrub": SQL_BOILERPLATE_SCRUB,
     "substring_dup_spans": SQL_SUBSTRING_DUP_SPANS,
+    "substring_dup_scrub": SQL_SUBSTRING_DUP_SCRUB,
 }

@@ -61,3 +61,67 @@ def test_substring_dup_spans_semantics(spark, corpus_dir):
     # window arithmetic: floor((len - G)/S) + 1
     n = len("x" * 200)
     assert out.loc[0, "n_windows"] == (n - SUB_GRAM) // SUB_STRIDE + 1
+
+
+def test_substring_dup_scrub_semantics(spark, corpus_dir):
+    """Keep-one-copy removal: the min-doc_id keeper retains its bytes;
+    every other doc loses the union of its flagged window spans."""
+    from curator_spark.queries.dedupq import q_substring_dup_scrub
+
+    src = pd.read_parquet(os.path.join(corpus_dir, "documents.parquet"))
+    texts = dict(zip(src.doc_id, src.text))
+    out = (
+        q_substring_dup_scrub(spark, corpus_dir)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # doc 0 is the canonical keeper of the x-run: untouched
+    assert out.loc[0, "scrubbed_text"] == texts[0]
+    assert out.loc[0, "n_dup_windows"] == 0 and out.loc[0, "removed_chars"] == 0
+    # doc 1 duplicates doc 0 verbatim: every window flagged, overlap
+    # union covers the whole doc -> scrubbed to empty
+    assert out.loc[1, "scrubbed_text"] == ""
+    assert out.loc[1, "removed_chars"] == 200
+    assert out.loc[1, "n_dup_windows"] == (200 - SUB_GRAM) // SUB_STRIDE + 1
+    # doc 2 is keeper of the shared S-run: untouched
+    assert out.loc[2, "scrubbed_text"] == texts[2]
+    # doc 3 loses exactly the one grid-aligned shared window (chars 1..40)
+    assert out.loc[3, "n_dup_windows"] == 1
+    assert out.loc[3, "removed_chars"] == SUB_GRAM
+    assert out.loc[3, "scrubbed_text"] == texts[3][SUB_GRAM:]
+    # doc 4 is below the window width: no windows, untouched
+    assert out.loc[4, "scrubbed_text"] == texts[4]
+
+
+def test_substring_dup_scrub_overlap_union(spark, tmp_path):
+    """Overlapping flagged windows merge into ONE span — removal is
+    the union of covered chars, not a per-window cut."""
+    from curator_spark.queries.dedupq import q_substring_dup_scrub
+
+    # run long enough to contain two grid-aligned overlapping windows
+    run = "R" * (SUB_GRAM + SUB_STRIDE)          # 60 chars
+    head = "h " * 40                              # 80 chars, doc-unique
+    tail = " t" * 40
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": [run + tail, head + run],     # keeper 0; doc 1 flagged
+            "lang": ["en"] * 2,
+            "source": ["s"] * 2,
+            "n_chars": [0] * 2,
+        }
+    )
+    docs.to_parquet(os.path.join(tmp_path, "documents.parquet"))
+    out = (
+        q_substring_dup_scrub(spark, str(tmp_path))
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "removed_chars"] == 0
+    # doc 1: run occupies chars 81..140; grid starts at 81 and 101 both
+    # lie fully inside it -> two overlapping windows, union = 81..140
+    assert out.loc[1, "n_dup_windows"] == 2
+    assert out.loc[1, "removed_chars"] == SUB_GRAM + SUB_STRIDE
+    assert out.loc[1, "scrubbed_text"] == head
