@@ -139,6 +139,7 @@ EXTRA = [
     "url_filter",
     "fineweb_filters",
     "substring_dup_scrub",
+    "quality_cascade",
 ]
 
 ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
