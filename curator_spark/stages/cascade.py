@@ -27,10 +27,13 @@ rule flags stay exact for every row. Teacher-vs-cascade agreement and
 the routed fraction are the quality/cost dials (band wider -> more
 teacher, higher fidelity).
 
-Reference parity: the reference's analog is using a cheap model to
-pre-filter requests before an expensive batched model
-(base_request_processor cost tiers); restated Spark-first as a
-column-level cascade.
+Reference parity: beyond the reference — curator has no cascade; the
+nearest analog is its online/batch processor split (cheap vs
+expensive request paths chosen per run, reference:
+src/bespokelabs/curator/request_processor/). This restates the
+published classifier-filter pattern (DCLM, arXiv:2406.11794; FineWeb-
+Edu, arXiv:2406.17557) Spark-first as a column-level cascade with the
+teacher already in-plan.
 """
 
 from __future__ import annotations
