@@ -147,7 +147,11 @@ def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread: the per-row fold is compute-heavy (interpreted HOF), so a
     # single-split local scan must fan out first (no-op at corpus scale)
     d = spread(t(spark, sf_dir, "documents"), spark)
-    ws = ts.words(F.col("text"))
+    # materialize the split once — three folds reference it and
+    # interpreted HOFs are not CSE'd within a projection (1.32 ->
+    # 1.16 s on the sf0.1 bench row)
+    d = d.withColumn("ws", ts.words(F.col("text")))
+    ws = F.col("ws")
     nws = ts.non_ws_chars(F.col("text"))
     d = d.select(
         "doc_id",
@@ -606,8 +610,14 @@ def _fw_ends_punct(l: Column) -> Column:
 
 
 def q_fineweb_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
-    ls = _fw_lines(ts.words(F.col("text")))
+    # materialize the window array ONCE: six downstream expressions
+    # reference it, and Catalyst does not CSE an interpreted HOF
+    # across a single projection — the with_rule_stats word_count
+    # trick (measured 3.50 -> 0.95 s on the sf0.1 bench row)
+    d = t(spark, sf_dir, "documents").withColumn(
+        "ls", _fw_lines(ts.words(F.col("text")))
+    )
+    ls = F.col("ls")
     n = F.size(ls)
     punct = F.size(F.filter(ls, _fw_ends_punct))
     short = F.size(F.filter(ls, lambda l: F.length(l) < FW_MIN_LINE_CHARS))
