@@ -227,9 +227,16 @@ def _line_frac(ls: Column, pred) -> Column:
 
 
 def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
-    ws = ts.words(F.col("text"))
-    ls = F.transform(ts.lines(F.col("text")), lambda l: F.trim(l))
+    # split/line arrays materialized once (no HOF CSE within a
+    # projection — see q_fineweb_filters)
+    d = t(spark, sf_dir, "documents").withColumns(
+        {
+            "ws": ts.words(F.col("text")),
+            "ls_t": F.transform(ts.lines(F.col("text")), lambda l: F.trim(l)),
+        }
+    )
+    ws = F.col("ws")
+    ls = F.col("ls_t")
     # coalesce like ts.word_count: size(NULL) is NULL under ANSI, which
     # would NULL the word_count output (and shift the drop_reason off
     # the word-count rule) for a NULL-text row; -1 fails it instead,
@@ -350,9 +357,15 @@ def _c4_keep_line(l: Column) -> Column:
 
 
 def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = t(spark, sf_dir, "documents")
-    ls = F.transform(ts.lines(F.col("text")), lambda l: F.trim(l))
-    kept = F.filter(ls, _c4_keep_line)
+    # ls / kept materialized once: `kept` (the per-line predicate
+    # sweep, the expensive part on real multi-line pages) is
+    # referenced three times below and HOFs are not CSE'd within a
+    # projection
+    d = t(spark, sf_dir, "documents").withColumn(
+        "ls", F.transform(ts.lines(F.col("text")), lambda l: F.trim(l))
+    ).withColumn("kept", F.filter(F.col("ls"), _c4_keep_line))
+    ls = F.col("ls")
+    kept = F.col("kept")
     return d.select(
         "doc_id",
         F.size(ls).cast("long").alias("lines_total"),
