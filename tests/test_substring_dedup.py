@@ -125,3 +125,71 @@ def test_substring_dup_scrub_overlap_union(spark, tmp_path):
     assert out.loc[1, "n_dup_windows"] == 2
     assert out.loc[1, "removed_chars"] == SUB_GRAM + SUB_STRIDE
     assert out.loc[1, "scrubbed_text"] == head
+
+
+@pytest.mark.parametrize("seed", [1, 7, 42])
+def test_substring_dup_scrub_random_vs_pure_python(spark, tmp_path, seed):
+    """Independent per-row restatement: a pure-Python window/keeper/
+    union-removal implementation must byte-agree with the Spark fold
+    on seeded random corpora built from a 3-char alphabet (forces
+    cross-doc window collisions the fixture never produces)."""
+    import random
+
+    from curator_spark.queries.dedupq import q_substring_dup_scrub
+
+    rng = random.Random(seed)
+    texts = []
+    for _ in range(30):
+        n = rng.randint(0, 120)
+        texts.append("".join(rng.choice("abc") for _ in range(n)))
+    # splice verbatim runs between random docs so keeper routing and
+    # overlap union actually trigger
+    for _ in range(10):
+        a, b = rng.randrange(len(texts)), rng.randrange(len(texts))
+        if len(texts[a]) >= SUB_GRAM:
+            start = rng.randrange(0, len(texts[a]) - SUB_GRAM + 1)
+            run = texts[a][start : start + SUB_GRAM + rng.randint(0, 30)]
+            pos = rng.randint(0, len(texts[b]))
+            texts[b] = texts[b][:pos] + run + texts[b][pos:]
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    d = str(tmp_path)
+    docs.to_parquet(os.path.join(d, "documents.parquet"))
+
+    # pure-Python restatement (no md5 needed: raw windows as keys)
+    owners: dict[str, set[int]] = {}
+    wins: dict[int, list[tuple[int, str]]] = {}
+    for i, text in enumerate(texts):
+        wins[i] = []
+        if len(text) >= SUB_GRAM:
+            n_w = (len(text) - SUB_GRAM) // SUB_STRIDE + 1
+            for k in range(n_w):
+                s0 = k * SUB_STRIDE
+                w = text[s0 : s0 + SUB_GRAM]
+                wins[i].append((s0, w))
+                owners.setdefault(w, set()).add(i)
+    expected = {}
+    for i, text in enumerate(texts):
+        cut = set()
+        n_flagged = 0
+        for s0, w in wins[i]:
+            own = owners[w]
+            if len(own) >= 2 and i != min(own):
+                n_flagged += 1
+                cut.update(range(s0, s0 + SUB_GRAM))
+        kept = "".join(ch for j, ch in enumerate(text) if j not in cut)
+        expected[i] = (n_flagged, len(text) - len(kept), kept)
+
+    got = {
+        r.doc_id: (r.n_dup_windows, r.removed_chars, r.scrubbed_text)
+        for r in q_substring_dup_scrub(spark, d).collect()
+    }
+    assert got == expected
