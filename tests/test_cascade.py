@@ -45,8 +45,8 @@ def test_cascade_fidelity_and_cost(spark, docs, teacher):
         j.where(F.col("model_ok") == F.col("ok")).count() / n
     )
     assert agree >= 0.97, agree
+    # at query time the teacher pays only for the uncertain band
     routed = out.where(F.col("route") != "student").count() / n
-    # teacher pays for the 1/CASCADE_SAMPLE_MOD sample + the band only
     assert routed <= 0.35, routed
     out.unpersist()
 
@@ -79,9 +79,9 @@ def test_cascade_null_text_defined(spark):
                         "and the cat sat on the mat with the dog")],
         "doc_id long, text string",
     )
-    out = {r.doc_id: r for r in cascade_quality(df, CFG, sample_mod=1).collect()}
-    # null text = empty doc: routed (sample_mod=1), verdict defined
-    assert out[1].route == "sample" and out[1].keep is False
+    out = {r.doc_id: r for r in cascade_quality(df, CFG).collect()}
+    # null text = empty doc: features defined, rules fail it
+    assert out[1].keep is False and out[1].student_p is not None
     assert out[2].keep is not None
 
 
