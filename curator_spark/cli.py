@@ -225,7 +225,10 @@ def main(argv: list[str] | None = None) -> int:
         with open(args.delete_urls) as fh:
             urls = [ln.strip() for ln in fh if ln.strip()]
         if urls:
-            deleted = pipe.delete_urls(spark, urls, fp=res.fingerprint)
+            # `or None`: a no-op incremental run reports fingerprint ""
+            # — a GDPR delete must then apply to ALL fingerprints, not
+            # silently scope to an empty one and delete nothing
+            deleted = pipe.delete_urls(spark, urls, fp=res.fingerprint or None)
     expired = (
         pipe.table.expire_snapshots(retain_last=args.expire_snapshots)
         if args.expire_snapshots is not None else None

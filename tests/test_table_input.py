@@ -233,3 +233,35 @@ def test_incremental_watermark_survives_output_compaction(
     st = pipe.incremental_state(pages_table)
     done = sorted((s["since"], s["to"]) for s in st if s["complete"])
     assert [a for a, _ in done[1:]] == [b for _, b in done[:-1]]
+
+
+def test_cli_delete_urls_applies_after_incremental_noop(
+    spark, pages_table, tmp_path, capsys
+):
+    """A no-op incremental run reports fingerprint '' — a GDPR
+    --delete-urls on that invocation must still delete from the
+    committed output (all fingerprints), not scope to the empty
+    fingerprint and silently remove nothing."""
+    import json
+
+    from curator_spark import cli
+
+    out = str(tmp_path / "out_del")
+    args = [
+        "--input", pages_table.root, "--input-format", "table",
+        "--incremental", "--out", out, "--cores", "8",
+    ]
+    assert cli.main(args) == 0
+    capsys.readouterr()
+
+    victim = pages_table.read(spark).select("url").first().url
+    f = tmp_path / "victims.txt"
+    f.write_text(victim + "\n")
+    assert cli.main(args + ["--delete-urls", str(f)]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["cached"] is True and res["fingerprint"] == ""
+    assert res["deleted"]["deleted_rows"] == 1
+    from curator_spark.pipeline.snapshot import SnapshotTable
+
+    remaining = SnapshotTable(out).read(spark)
+    assert remaining.where(F.col("url") == victim).count() == 0
