@@ -40,6 +40,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "appended since the last complete slice "
                         "(watermark kept in the output table's commit "
                         "meta)")
+    p.add_argument("--incremental-state", action="store_true",
+                   help="with --input-format table: print the slice "
+                        "lineage for this input table (one JSON object "
+                        "per slice: since/to/fingerprint/buckets_done/"
+                        "n_buckets/docs_seen/complete) and exit without "
+                        "running — metadata-only, no data read")
     p.add_argument("--out", required=True, help="output snapshot-table root")
     p.add_argument("--cores", type=int,
                    default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
@@ -195,8 +201,13 @@ def main(argv: list[str] | None = None) -> int:
         from curator_spark.pipeline.catalog import open_table
 
         input_table = open_table(args.input, spark=spark)
-    elif args.incremental:
-        raise SystemExit("--incremental requires --input-format table")
+    elif args.incremental or args.incremental_state:
+        raise SystemExit(
+            "--incremental/--incremental-state require --input-format table"
+        )
+    if args.incremental_state:
+        print(json.dumps(pipe.incremental_state(input_table)))
+        return 0
     try:
         if args.incremental:
             res = pipe.run_incremental(

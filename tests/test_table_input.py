@@ -265,3 +265,26 @@ def test_cli_delete_urls_applies_after_incremental_noop(
 
     remaining = SnapshotTable(out).read(spark)
     assert remaining.where(F.col("url") == victim).count() == 0
+
+
+def test_cli_incremental_state(spark, pages_table, tmp_path, capsys):
+    """--incremental-state prints the slice lineage and exits without
+    running (metadata-only, parseable JSON)."""
+    import json
+
+    from curator_spark import cli
+
+    out = str(tmp_path / "out_state")
+    base = [
+        "--input", pages_table.root, "--input-format", "table",
+        "--out", out, "--cores", "8",
+    ]
+    # before any incremental run: empty lineage
+    assert cli.main(base + ["--incremental-state"]) == 0
+    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1]) == []
+
+    assert cli.main(base + ["--incremental"]) == 0
+    capsys.readouterr()
+    assert cli.main(base + ["--incremental-state"]) == 0
+    st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(st) == 1 and st[0]["complete"] and st[0]["docs_seen"] == 1200
