@@ -130,6 +130,10 @@ def train_student(
         *[F.col(f).cast("double") for f in FEATURES],
         F.col(label_col).cast("double").alias("_y"),
     ).toPandas()
+    if len(pdf) == 0:
+        # empty corpus: zero weights -> p = 0.5 everywhere -> every row
+        # is in-band and routes to the teacher (which sees no rows)
+        return 0.0, {f: 0.0 for f in FEATURES}
     X = np.nan_to_num(pdf[list(FEATURES)].to_numpy(dtype=np.float64))
     X = np.hstack([np.ones((len(X), 1)), X])  # bias column first
     y = pdf["_y"].to_numpy(dtype=np.float64)

@@ -103,3 +103,12 @@ def test_native_features_no_exchange(spark, docs):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_cascade_empty_corpus(spark):
+    df = spark.createDataFrame([], "doc_id long, text string")
+    out = cascade_quality(df, CFG)
+    assert out.count() == 0
+    assert set(out.columns) == {
+        "doc_id", "student_p", "route", "model_ok", "keep",
+    }
