@@ -52,3 +52,67 @@ def test_entry_contract(spark):
     df = E.entry(spark)
     assert df.count() > 0
     assert set(E.oracle_sql()) <= set(E.queries())
+
+
+def test_measured_window_pinned():
+    """The driver hash-gates the FIRST 50 registry entries in dict
+    order. Pin the exact membership AND order as a literal so an
+    accidental registry edit (reorder, swap, insertion above the cap)
+    cannot silently change what the correctness gate measures. The
+    one deliberate change vs CORRECTNESS_r04.json is the r5 swap:
+    decontaminate_hashed in, error_props_histogram demoted to EXTRA
+    (VERDICT r4 ask #6)."""
+    from curator_spark.queries import MEASURED, QUERIES
+
+    expected = ["quality_full_docs",
+    "rule_stats",
+    "langid_heuristic",
+    "quality_keepdrop",
+    "scrub_pii",
+    "toxicity_score",
+    "model_scores_pinned",
+    "ccnet_ppl_buckets",
+    "token_stats",
+    "doc_fingerprint",
+    "doc_winnowing",
+    "doc_chunks",
+    "gopher_repetition",
+    "gopher_quality_docs",
+    "c4_line_filter",
+    "dedup_exact",
+    "dedup_normalized",
+    "dedup_url",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",
+    "boilerplate_segments",
+    "substring_dup_spans",
+    "knn_brute",
+    "ann_lsh_bucket",
+    "ann_ivf",
+    "embedding_neardup_pairs",
+    "centroid_assign",
+    "semdedup_prune",
+    "decontaminate",
+    "decontaminate_hashed",
+    "decontaminate_fuzzy",
+    "sample_stratified",
+    "downsample_lang",
+    "shard_packing",
+    "curation_e2e",
+    "dsir_importance",
+    "domain_quota",
+    "temperature_rebalance",
+    "pricing_summary",
+    "value_moving_avg",
+    "top_customers_revenue",
+    "orders_no_bigline",
+    "users_by_event_type",
+    "latest_event_per_user",
+    "sessionize",
+    "asof_last_click_before_error",
+    "distractor_sample",
+    "json_repair_stats"]
+    assert MEASURED == expected
+    assert list(QUERIES) == expected
