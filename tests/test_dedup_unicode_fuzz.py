@@ -122,7 +122,9 @@ def fuzz_sf_dir(spark, tmp_path_factory):
         "doc_fingerprint",
         "token_stats",
         "substring_dup_spans",
+        "substring_dup_scrub",
         "boilerplate_segments",
+        "fineweb_filters",
     ],
 )
 def test_dedup_family_unicode_parity(spark, fuzz_sf_dir, name):
