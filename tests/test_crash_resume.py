@@ -91,3 +91,71 @@ def test_sigkill_mid_stage_write_then_resume(spark, tmp_path):
             and os.path.isdir(os.path.join(data_dir, d))
         ]
         assert orphans, "expected the killed run's torn stage dir"
+
+
+_CHILD_INC = """
+import sys; sys.path.insert(0, {repo!r})
+from curator_spark.engine.session import get_spark
+from curator_spark.pipeline.run import QualityPipeline
+from curator_spark.pipeline.snapshot import SnapshotTable
+spark = get_spark("crash-child-inc", cores=4)
+spark.sparkContext.setLogLevel("ERROR")
+QualityPipeline({out!r}).run_incremental(spark, SnapshotTable({intab!r}))
+"""
+
+
+def test_sigkill_mid_incremental_slice_then_resume(spark, tmp_path):
+    """SIGKILL an incremental slice mid-stage-write: the rerun must
+    resume the SAME pinned slice (watermark untouched — a crash can
+    never skip rows), the appended rows land exactly once, and the
+    lineage chains."""
+    import pyspark.sql.functions as F
+
+    from curator_spark.engine.synth import generate_pages
+    from curator_spark.pipeline.snapshot import SnapshotTable
+
+    intab = SnapshotTable(str(tmp_path / "in_tab"))
+    intab.append(generate_pages(spark, 8_000), {"crawl": "c0"})
+    out = str(tmp_path / "out")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    # bootstrap slice completes in-process
+    pipe = QualityPipeline(out)
+    r0 = pipe.run_incremental(spark, intab)
+    assert r0.docs_seen == 8_000
+
+    extra = generate_pages(spark, 20_000).withColumn(
+        "url", F.concat(F.lit("https://c1.example/"), F.col("url"))
+    )
+    intab.append(extra, {"crawl": "c1"})
+
+    data_dir = os.path.join(out, "data")
+    before = set(os.listdir(data_dir))
+    child = subprocess.Popen(
+        [sys.executable, "-c",
+         _CHILD_INC.format(repo=repo, out=out, intab=intab.root)],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    deadline = time.time() + 300
+    staged = False
+    while time.time() < deadline and child.poll() is None:
+        if set(os.listdir(data_dir)) - before:
+            staged = True
+            break
+        time.sleep(0.05)
+    n_manifests_at_kill = len(os.listdir(os.path.join(out, "_manifests")))
+    child.send_signal(signal.SIGKILL)
+    child.wait()
+    # bootstrap committed exactly one manifest; none for the new slice
+    killed_mid_write = staged and n_manifests_at_kill == 1
+
+    res = pipe.run_incremental(spark, intab)
+    if killed_mid_write:
+        assert not res.cached and res.docs_seen == 20_000
+    df = pipe.table.read(spark)
+    assert df.count() == 28_000
+    assert df.select("url").distinct().count() == 28_000
+    st = pipe.incremental_state(intab)
+    assert [s["complete"] for s in st] == [True, True]
+    assert st[1]["since"] == st[0]["to"]
+    assert pipe.run_incremental(spark, intab).cached
