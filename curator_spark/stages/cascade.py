@@ -110,7 +110,8 @@ def teacher_model_ok(cfg: QualityConfig) -> Column:
 
 
 def train_student(
-    labeled: DataFrame, label_col: str = "model_ok"
+    labeled: DataFrame, label_col: str = "model_ok",
+    id_col: str = "doc_id",
 ) -> tuple[float, dict[str, float]]:
     """Fit the logistic student on `FEATURES` -> (intercept, weights).
 
@@ -126,10 +127,14 @@ def train_student(
     independent of corpus size."""
     import numpy as np
 
+    # sort by id: toPandas order follows partition order, and float
+    # summation order moves the fitted weights' low bits — without the
+    # sort, a different cluster size could flip a band-edge route
     pdf = labeled.select(
+        F.col(id_col).alias("_id"),
         *[F.col(f).cast("double") for f in FEATURES],
         F.col(label_col).cast("double").alias("_y"),
-    ).toPandas()
+    ).toPandas().sort_values("_id", kind="mergesort", ignore_index=True)
     if len(pdf) == 0:
         # empty corpus: zero weights -> p = 0.5 everywhere -> every row
         # is in-band and routes to the teacher (which sees no rows)
@@ -197,7 +202,7 @@ def cascade_quality(
     labeled = with_model_scores(train, cfg, text_col=text_col).withColumn(
         "model_ok", teacher_model_ok(cfg)
     )
-    intercept, weights = train_student(labeled)
+    intercept, weights = train_student(labeled, id_col=id_col)
 
     p = student_prob_expr(intercept, weights)
     scored = feats.withColumn("student_p", p)

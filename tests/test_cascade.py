@@ -112,3 +112,19 @@ def test_cascade_empty_corpus(spark):
     assert set(out.columns) == {
         "doc_id", "student_p", "route", "model_ok", "keep",
     }
+
+
+def test_train_student_partition_invariant(spark, docs):
+    """The fit must be identical under ANY input partitioning: the
+    collected sample is sorted by id before the solve, so float
+    summation order — and with it the weights' low bits and any
+    band-edge route — cannot depend on cluster size."""
+    from curator_spark.stages.cascade import train_student
+
+    feats = with_native_features(docs)
+    lab = with_model_scores(feats, CFG).withColumn(
+        "model_ok", teacher_model_ok(CFG)
+    )
+    assert train_student(lab.repartition(3)) == train_student(
+        lab.repartition(17)
+    )
