@@ -288,3 +288,65 @@ def test_cli_incremental_state(spark, pages_table, tmp_path, capsys):
     assert cli.main(base + ["--incremental-state"]) == 0
     st = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert len(st) == 1 and st[0]["complete"] and st[0]["docs_seen"] == 1200
+
+
+@pytest.mark.parametrize("seed", [3, 11])
+def test_incremental_model_random_ops(spark, tmp_path, seed):
+    """Model-based check of the watermark machinery: a random
+    interleaving of append / full slice / partial slice / compaction
+    must end (after draining) with every appended row in the output
+    EXACTLY once and a cleanly chained complete-slice lineage."""
+    import random
+
+    from curator_spark.engine.synth import generate_pages
+
+    rng = random.Random(seed)
+    intab = SnapshotTable(str(tmp_path / f"in_{seed}"))
+    pipe = QualityPipeline(str(tmp_path / f"out_{seed}"))
+    total = 0
+    n_appends = 0
+
+    def append():
+        nonlocal total, n_appends
+        k = rng.choice([200, 400, 600])
+        df = generate_pages(spark, k).withColumn(
+            "url",
+            F.concat(F.lit(f"https://c{n_appends}.example/"), F.col("url")),
+        )
+        intab.append(df, {"crawl": f"c{n_appends}"})
+        total += k
+        n_appends += 1
+
+    append()  # non-empty bootstrap
+    for _ in range(8):
+        op = rng.choice(["append", "inc", "inc_partial", "compact"])
+        if op == "append":
+            append()
+        elif op == "inc":
+            pipe.run_incremental(spark, intab)
+        elif op == "inc_partial":
+            pipe.run_incremental(
+                spark, intab, max_buckets=rng.randint(1, 8)
+            )
+        else:
+            done = [
+                s for s in pipe.incremental_state(intab) if s["complete"]
+            ]
+            if done:
+                pipe.compact(spark, rng.choice(done)["fingerprint"])
+
+    # drain: finish any partial slice and consume any pending appends
+    for _ in range(16):
+        if pipe.run_incremental(spark, intab).cached:
+            break
+    else:
+        raise AssertionError("drain did not reach the cached no-op")
+
+    out = pipe.table.read(spark)
+    assert out.count() == total
+    assert out.select("url").distinct().count() == total
+    st = [s for s in pipe.incremental_state(intab) if s["complete"]]
+    spans = sorted((s["since"], s["to"]) for s in st)
+    assert spans[0][0] == 0
+    assert all(a2 == b1 for (_, b1), (a2, _) in zip(spans, spans[1:]))
+    assert spans[-1][1] == intab.current_snapshot_id()
