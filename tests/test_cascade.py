@@ -128,3 +128,25 @@ def test_train_student_partition_invariant(spark, docs):
     assert train_student(lab.repartition(3)) == train_student(
         lab.repartition(17)
     )
+
+
+def test_cascade_band_is_monotone_fidelity_dial(spark, docs, teacher):
+    """Widening the band only converts student rows into teacher rows
+    (which always agree), so both the routed fraction and the
+    teacher-agreement rate must be non-decreasing in band width —
+    the documented quality/cost dial, proven on nested bands."""
+    stats = []
+    for band in ((0.45, 0.55), (0.2, 0.8), (0.0, 1.0)):
+        out = cascade_quality(docs, CFG, band=band)
+        j = out.join(teacher, "doc_id").cache()
+        n = j.count()
+        stats.append((
+            j.where(F.col("route") != "student").count() / n,
+            j.where(F.col("model_ok") == F.col("ok")).count() / n,
+        ))
+        j.unpersist()
+    routed = [r for r, _ in stats]
+    agree = [a for _, a in stats]
+    assert routed == sorted(routed), routed
+    assert agree == sorted(agree), agree
+    assert agree[-1] == 1.0  # full band reproduces the teacher
