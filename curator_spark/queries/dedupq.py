@@ -613,17 +613,63 @@ def star_contract_components(edges: DataFrame, max_rounds: int = 25) -> DataFram
     return pointers.unionByName(roots).distinct()
 
 
+# Edge sets at or under this count solve on the driver (union-find
+# over collected (s, d) longs — ~32 MB at the cap): the NEARDUP_
+# BROADCAST_CAP pattern applied to connected components. Near-dup
+# edge sets are a small fraction of the corpus by construction, but
+# at 10^12 docs they can still exceed any driver, so the distributed
+# fixpoint stays the >cap route; identical labels either way
+# (component min), pinned by tests/test_cc_propagation.py.
+CC_COLLECT_CAP = 1_000_000
+
+
+def _union_find_labels(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """Driver-side exact component-min labels for a SMALL edge set."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in edges.collect():
+        a, b = row.s, row.d
+        for v in (a, b):
+            if v not in parent:
+                parent[v] = v
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)  # min root wins
+    labels = [(v, find(v)) for v in parent]
+    return spark.createDataFrame(labels, "doc_id long, label long")
+
+
 def _clusters_query(spark: SparkSession, sf_dir: str, cc_driver) -> DataFrame:
     """Shared scaffolding for the cluster queries: LSH pairs ->
-    symmetric edges -> `cc_driver` fixpoint -> one left join attaching
+    symmetric edges -> component-min labels -> one left join attaching
     the (vast) isolated majority as singleton clusters. Both drivers
     compute the same (doc_id, component-min) contract, so both queries
-    share one DuckDB oracle."""
+    share one DuckDB oracle.
+
+    Route gate: the edge set materializes once (eager localCheckpoint
+    — the fixpoint re-reads it every hop anyway), and a cheap count on
+    the checkpointed data picks driver-side union-find at or under
+    CC_COLLECT_CAP (each distributed hop costs fixed job latency that
+    dwarfs the actual work on a small graph) vs the distributed
+    `cc_driver` fixpoint above it. `cc_driver=None` forces the
+    distributed route off (star query keeps its driver — that is its
+    point)."""
     pairs = q_dedup_minhash_lsh(spark, sf_dir)
     edges = pairs.selectExpr("doc_a AS s", "doc_b AS d").unionAll(
         pairs.selectExpr("doc_b AS s", "doc_a AS d")
-    ).localCheckpoint(eager=False)
-    labels = cc_driver(edges)
+    ).localCheckpoint()
+    if cc_driver is min_label_propagate and edges.count() <= CC_COLLECT_CAP:
+        labels = _union_find_labels(spark, edges)
+    else:
+        labels = cc_driver(edges)
     return (
         t(spark, sf_dir, "documents")
         .select("doc_id")

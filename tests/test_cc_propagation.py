@@ -41,3 +41,25 @@ def test_two_components_merge_via_bridge(spark):
     labels = min_label_propagate(_edges(spark, pairs))
     assert labels.select(F.count_distinct("label")).first()[0] == 1
     assert labels.agg(F.min("label"), F.max("label")).first() == (1, 1)
+
+
+def test_clusters_route_parity_collect_vs_distributed(spark, monkeypatch):
+    """The CC_COLLECT_CAP gate must be invisible in the labels: the
+    driver-side union-find route and the distributed propagation
+    route produce identical (doc_id, cluster_id) rows."""
+    import pyspark.sql.functions as F
+
+    import curator_spark.queries.dedupq as dq
+
+    sf = "/root/testdata/sf0.001"
+    a = dq.q_dedup_clusters(spark, sf)
+    monkeypatch.setattr(dq, "CC_COLLECT_CAP", -1)  # force distributed
+    b = dq.q_dedup_clusters(spark, sf)
+    diff = (
+        a.withColumnRenamed("cluster_id", "x")
+        .join(b, "doc_id")
+        .where(F.col("x") != F.col("cluster_id"))
+        .count()
+    )
+    assert diff == 0
+    assert a.count() == b.count()
