@@ -269,3 +269,26 @@ def test_fineweb_zero_exchange_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_c4_clean_text_is_fixed_point(spark, tmp_path):
+    """Re-running the C4 line filter on its own clean_text keeps every
+    line and reproduces the bytes — the cleaning is a projection onto
+    its own acceptance set, so one pass is enough at any scale."""
+    import os
+
+    import pandas as pd
+
+    from curator_spark.queries.gopherq import q_c4_line_filter
+
+    first = q_c4_line_filter(spark, "/root/testdata/sf0.01").select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    d2 = str(tmp_path)
+    first.toPandas().assign(
+        lang="en", source="s", n_chars=0
+    ).to_parquet(os.path.join(d2, "documents.parquet"))
+    second = q_c4_line_filter(spark, d2).toPandas().set_index("doc_id")
+    f = first.toPandas().set_index("doc_id")
+    assert (second["lines_kept"] == second["lines_total"]).all()
+    assert (second["clean_text"] == f.loc[second.index, "text"]).all()
