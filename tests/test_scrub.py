@@ -42,3 +42,28 @@ def test_null_and_clean_passthrough():
     assert out[0] == ""
     assert out[1] == "perfectly clean text"
     assert counts.sum().sum() == 0
+
+
+def test_scrub_is_fixed_point_on_corpus():
+    """Re-scrubbing scrubbed text changes nothing and counts nothing:
+    the replacement tokens are outside every rule's match language, so
+    one pass is enough (a second pass double-counting [EMAIL] tokens
+    would corrupt downstream scrub metrics)."""
+    import duckdb
+    import pandas as pd
+
+    from curator_spark.functions.scrub_core import scrub_series
+
+    texts = pd.Series(
+        [
+            r[0]
+            for r in duckdb.sql(
+                "SELECT text FROM "
+                "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+            ).fetchall()
+        ]
+    )
+    once, _ = scrub_series(texts)
+    twice, counts2 = scrub_series(once)
+    assert (once == twice).all()
+    assert int(counts2.to_numpy().sum()) == 0
